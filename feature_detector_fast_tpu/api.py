@@ -5,10 +5,12 @@ Mirrors the reference's `lib.rs` entry points: free function ``detect``
 row-major order exactly like the reference's `Vec<Point>`.
 
 Design: the device side is ONE fused jit program per (shape, config, cap) —
-dense detect + score + nonmax + compaction — so a detection costs a single
-dispatch and a single result fetch (host<->device round trips dominate on a
-remote-attached TPU).  A batched variant amortizes dispatch further; it is
-the production serving path and what `bench.py` measures.
+dense detect + score + nonmax + hierarchical word compaction — so a
+detection costs a single dispatch and a single small result fetch
+(host<->device round trips dominate on a remote-attached TPU).  A batched
+variant amortizes dispatch further; it is the production serving path and
+what `bench.py` measures.  Backend dispatch picks the fused Pallas kernel
+on TPU and the XLA dense pipeline elsewhere.
 """
 
 from __future__ import annotations
@@ -21,24 +23,37 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import Config, NonmaxMode, Point
-from .ops import fast
+from .ops import compact, fast
 
 ImageLike = Union[np.ndarray, jax.Array]
 
-#: Initial compaction cap; grows geometrically on overflow, so even a
-#: pathological all-corners image is handled without dropping keypoints.
-_DEFAULT_CAP = 1 << 15
+#: Initial word-compaction cap (32-pixel words containing >= 1 keypoint);
+#: grows geometrically on overflow, so even a pathological all-corners
+#: image is handled without dropping keypoints.
+_DEFAULT_WORD_CAP = 1 << 14
+
+
+def _detect_dense_best(image, threshold: int, count: int, nonmax: NonmaxMode):
+    """Backend dispatch: the fused Pallas kernel on TPU, the XLA dense
+    pipeline elsewhere.  The reference gates its SIMD backend at compile
+    time with no runtime fallback (lib.rs:12-13); here the fallback is
+    always available and the choice is made at trace time."""
+    if jax.default_backend() == "tpu":
+        from .ops import fast_pallas
+
+        return fast_pallas.detect_dense_pallas.__wrapped__(
+            image, threshold, count, nonmax, False
+        )
+    return fast.detect_dense(image, threshold, count, nonmax)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
-def _detect_compact(image, threshold: int, count: int, nonmax: NonmaxMode, cap: int):
-    """Fused detect + compact: returns (flat row-major indices (cap,),
-    true count).  Indices encode y * W + x; padding slots hold H*W."""
-    mask, _ = fast.detect_dense(image, threshold, count, nonmax)
-    flat = mask.reshape(-1)
-    n = jnp.sum(flat, dtype=jnp.int32)
-    (idx,) = jnp.nonzero(flat, size=int(cap), fill_value=flat.size)
-    return idx.astype(jnp.int32), n
+def _detect_compact(image, threshold: int, count: int, nonmax: NonmaxMode,
+                    max_words: int):
+    """Fused detect + hierarchical compaction.  Returns
+    (word_idx, word_bits, n_points, n_words); see ops.compact."""
+    mask, _ = _detect_dense_best(image, threshold, count, nonmax)
+    return compact.compact_mask_words(mask, max_words)
 
 
 def _as_device_image(image: ImageLike, expect_ndim: int) -> jax.Array:
@@ -52,43 +67,41 @@ def _as_device_image(image: ImageLike, expect_ndim: int) -> jax.Array:
     return img
 
 
-def _indices_to_xy(idx: np.ndarray, n: int, width: int) -> np.ndarray:
-    idx = idx[:n].astype(np.uint32)
-    return np.stack([idx % width, idx // width], axis=-1)
-
-
 def detect_arrays(
     image: ImageLike,
     config: Optional[Config] = None,
     *,
-    max_points: Optional[int] = None,
+    max_words: Optional[int] = None,
 ) -> np.ndarray:
     """Detect keypoints; returns an (N, 2) uint32 array of (x, y) rows in
-    row-major image order.  ``max_points`` only sets the initial compaction
+    row-major image order.  ``max_words`` only sets the initial compaction
     cap — on overflow the cap grows and detection reruns, so results are
     always complete (SURVEY.md §7 hard part iv)."""
     config = config or Config()
     img = _as_device_image(image, 2)
     h, w = img.shape
-    cap = int(max_points or _DEFAULT_CAP)
+    cap = int(max_words or _DEFAULT_WORD_CAP)
+    max_cap = -(-h * w // compact.WORD_BITS)
     while True:
-        idx, n = _detect_compact(
+        widx, wbits, n, n_words = _detect_compact(
             img, int(config.threshold), int(config.count), config.nonmax, cap
         )
-        n = int(n)
-        if n <= cap:
-            return _indices_to_xy(np.asarray(idx), n, w)
-        cap = min(max(cap * 4, n), h * w)
+        n_words = int(n_words)
+        if n_words <= cap:
+            return compact.expand_words_host(
+                np.asarray(widx), np.asarray(wbits), int(n), w
+            )
+        cap = min(max(cap * 4, n_words), max_cap)
 
 
 def detect(
     image: ImageLike,
     config: Optional[Config] = None,
     *,
-    max_points: Optional[int] = None,
+    max_words: Optional[int] = None,
 ) -> List[Point]:
     """Detect keypoints as a list of :class:`Point` (reference: lib.rs:62-64)."""
-    xy = detect_arrays(image, config, max_points=max_points)
+    xy = detect_arrays(image, config, max_words=max_words)
     return [Point(int(x), int(y)) for x, y in xy]
 
 
@@ -99,49 +112,85 @@ def detect(
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def _detect_compact_batch(images, threshold: int, count: int, nonmax: NonmaxMode,
-                          cap: int):
+                          max_words: int):
     def one(im):
-        return _detect_compact.__wrapped__(im, threshold, count, nonmax, cap)
+        return _detect_compact.__wrapped__(im, threshold, count, nonmax, max_words)
 
     return jax.vmap(one)(images)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _detect_compact_batch_packed(images, threshold: int, count: int,
+                                 nonmax: NonmaxMode, max_words: int):
+    """Batched detect + compact with a SINGLE packed int32 output per frame:
+    slot 0 the true keypoint count, slot 1 the true nonzero-word count,
+    slots [128, 128+cap) the word indices, slots [128+cap, 128+2*cap) the
+    word bits.  One output array means one device->host fetch per round —
+    the serving-path layout for hosts where readback round trips dominate."""
+    mw = int(max_words)
+
+    def one(im):
+        widx, wbits, n, n_words = _detect_compact.__wrapped__(
+            im, threshold, count, nonmax, mw
+        )
+        head = jnp.zeros((128,), jnp.int32).at[0].set(n).at[1].set(n_words)
+        return jnp.concatenate([head, widx, wbits])
+
+    return jax.vmap(one)(images)
+
+
+def unpack_batch_packed(packed: np.ndarray, max_words: int, width: int):
+    """Host-side decode of `_detect_compact_batch_packed` output into a list
+    of (N_i, 2) uint32 keypoint arrays."""
+    out = []
+    for row in packed:
+        n, n_words = int(row[0]), int(row[1])
+        if n_words > max_words:
+            raise OverflowError(f"word cap exceeded: {n_words} > {max_words}")
+        widx = row[128 : 128 + max_words]
+        wbits = row[128 + max_words : 128 + 2 * max_words]
+        out.append(compact.expand_words_host(widx, wbits, n, width))
+    return out
 
 
 def detect_batch_arrays(
     images: ImageLike,
     config: Optional[Config] = None,
     *,
-    max_points: Optional[int] = None,
+    max_words: Optional[int] = None,
 ) -> List[np.ndarray]:
     """Detect over a (B, H, W) u8 batch in one dispatch; returns a list of
     per-frame (N_i, 2) uint32 arrays."""
     config = config or Config()
     imgs = _as_device_image(images, 3)
     b, h, w = imgs.shape
-    cap = int(max_points or _DEFAULT_CAP)
+    cap = int(max_words or _DEFAULT_WORD_CAP)
+    max_cap = -(-h * w // compact.WORD_BITS)
     while True:
-        idx, n = _detect_compact_batch(
+        widx, wbits, n, n_words = _detect_compact_batch(
             imgs, int(config.threshold), int(config.count), config.nonmax, cap
         )
-        counts = np.asarray(n)
-        if counts.max(initial=0) <= cap:
-            idx = np.asarray(idx)
+        n_words_np = np.asarray(n_words)
+        if n_words_np.max(initial=0) <= cap:
+            widx, wbits, n_np = np.asarray(widx), np.asarray(wbits), np.asarray(n)
             return [
-                _indices_to_xy(idx[i], int(counts[i]), w) for i in range(b)
+                compact.expand_words_host(widx[i], wbits[i], int(n_np[i]), w)
+                for i in range(b)
             ]
-        cap = min(max(cap * 4, int(counts.max())), h * w)
+        cap = min(max(cap * 4, int(n_words_np.max())), max_cap)
 
 
 def detect_batch_device(
     images: jax.Array,
     config: Optional[Config] = None,
     *,
-    max_points: int = _DEFAULT_CAP,
-) -> Tuple[jax.Array, jax.Array]:
+    max_words: int = _DEFAULT_WORD_CAP,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Device-resident batched detection for on-TPU consumers (descriptors,
-    matching): returns (flat indices (B, cap) int32, counts (B,) int32)
-    without any host transfer."""
+    matching): returns (word_idx (B, cap), word_bits (B, cap), n (B,),
+    n_words (B,)) without any host transfer."""
     config = config or Config()
     return _detect_compact_batch(
         images, int(config.threshold), int(config.count), config.nonmax,
-        int(max_points),
+        int(max_words),
     )

@@ -2,14 +2,25 @@
 
 TPU kernels have static shapes, so detection produces a dense (H, W) mask;
 the variable-length keypoint list the reference API returns
-(`Vec<Point>`, lib.rs:56-64) is recovered by compaction.  Inside jit we use
-a size-capped nonzero (fixed output shape); the host-side wrapper in
-`api.py` grows the cap and retries if it ever overflows, so no keypoint can
-be silently dropped (SURVEY.md §7 hard part iv).
+(`Vec<Point>`, lib.rs:56-64) is recovered by compaction.
 
-Emission order is row-major ((y, x) lexicographic), matching the
-reference's row-scan push order (fast_simd.rs:550,581) — this matters for
-golden hashing.
+A direct `jnp.nonzero` over the 2M-pixel mask lowers to a full-size sort —
+~19 ms/frame on a v5e chip, dwarfing detection itself.  Instead compaction
+is hierarchical, exploiting keypoint sparsity (~0.5-1% of pixels):
+
+  1. pack the mask 32 pixels/word in row-major order (shift + minor-axis
+     reduce, pure VPU),
+  2. `nonzero` over the ~65k WORDS (32x smaller sort) with a word cap,
+  3. gather the packed bits of the selected words.
+
+The (word-index, word-bits) pairs are a complete, ordered sparse encoding
+(~64 KB/frame); expanding to flat pixel indices is a trivial bit loop done
+on the host (or fused into a downstream device consumer).  Emission order
+stays row-major ((y, x) lexicographic), matching the reference's row-scan
+push order (fast_simd.rs:550) — this matters for golden hashing.
+
+Caps never drop keypoints: true word counts are returned so callers retry
+with a bigger cap on overflow (SURVEY.md §7 hard part iv).
 """
 
 from __future__ import annotations
@@ -19,15 +30,74 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+WORD_BITS = 32
+
+
+def pack_mask_words(mask: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Pack a boolean mask into 32-pixel words (row-major flat order).
+
+    Returns (words int32 (ceil(H*W/32),), n int32 total set pixels).
+    """
+    flat = mask.reshape(-1)
+    pad = (-flat.size) % WORD_BITS
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
+    w = flat.reshape(-1, WORD_BITS).astype(jnp.int32)
+    shifts = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
+    bits = (w << shifts).sum(axis=1, dtype=jnp.int32)
+    n = jax.lax.population_count(bits.view(jnp.uint32)).sum(dtype=jnp.int32)
+    return bits, n
+
+
+def compact_mask_words(
+    mask: jax.Array, max_words: int
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Hierarchical compaction: returns (word_idx (max_words,) int32,
+    word_bits (max_words,) int32, n_points, n_words).
+
+    ``word_idx`` holds the ascending indices of nonzero 32-pixel words
+    (padded with n_total_words); ``word_bits`` their packed bits (padded
+    with 0).  Overflow detection: ``n_words > max_words``.
+    """
+    bits, n = pack_mask_words(mask)
+    nzw = bits != 0
+    n_words = jnp.sum(nzw, dtype=jnp.int32)
+    (widx,) = jnp.nonzero(nzw, size=int(max_words), fill_value=bits.shape[0])
+    widx = widx.astype(jnp.int32)
+    safe = jnp.minimum(widx, bits.shape[0] - 1)
+    wbits = jnp.where(widx < bits.shape[0], bits[safe], 0)
+    return widx, wbits, n, n_words
+
+
+def expand_words_host(
+    word_idx: np.ndarray, word_bits: np.ndarray, n_points: int, width: int
+) -> np.ndarray:
+    """Expand (word_idx, word_bits) to an (N, 2) uint32 (x, y) array on the
+    host, preserving row-major order."""
+    word_idx = np.asarray(word_idx, np.int64)
+    word_bits = np.asarray(word_bits, np.uint32)
+    live = word_bits != 0
+    word_idx = word_idx[live]
+    word_bits = word_bits[live]
+    if word_idx.size == 0:
+        return np.zeros((0, 2), np.uint32)
+    # (n_words, 32) bit matrix; bit b of word w -> flat index w*32 + b.
+    bitmat = (word_bits[:, None] >> np.arange(WORD_BITS, dtype=np.uint32)) & 1
+    flat = (word_idx[:, None] * WORD_BITS + np.arange(WORD_BITS))[bitmat.astype(bool)]
+    assert flat.size == n_points, (flat.size, n_points)
+    return np.stack([flat % width, flat // width], axis=-1).astype(np.uint32)
+
+
+# ---------------------------------------------------------------------------
+# Legacy full-sort compaction (kept for differential tests).
+# ---------------------------------------------------------------------------
 
 
 def compact_mask(mask: jax.Array, max_points: int) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Extract up to ``max_points`` (x, y) coordinates from a boolean mask.
-
-    Returns ``(xy, n, overflow)`` where ``xy`` is (max_points, 2) uint32 in
-    row-major order (padded rows are (0, H)), ``n`` is the true number of
-    set pixels, and ``overflow`` is ``n > max_points``.
-    """
+    """Direct nonzero compaction: (xy (max_points, 2) uint32, n, overflow).
+    O(H*W log H*W) on TPU — use `compact_mask_words` in hot paths."""
     h, w = mask.shape
     flat = mask.reshape(-1)
     n = jnp.sum(flat, dtype=jnp.int32)
@@ -40,18 +110,3 @@ def compact_mask(mask: jax.Array, max_points: int) -> Tuple[jax.Array, jax.Array
 @functools.partial(jax.jit, static_argnums=(1,))
 def compact_mask_jit(mask: jax.Array, max_points: int):
     return compact_mask(mask, max_points)
-
-
-def compact_scored_mask(
-    mask: jax.Array, score: jax.Array, max_points: int
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Like :func:`compact_mask` but also gathers per-keypoint scores."""
-    h, w = mask.shape
-    flat = mask.reshape(-1)
-    n = jnp.sum(flat, dtype=jnp.int32)
-    (idx,) = jnp.nonzero(flat, size=int(max_points), fill_value=h * w)
-    x = (idx % w).astype(jnp.uint32)
-    y = (idx // w).astype(jnp.uint32)
-    s = score.reshape(-1).at[jnp.minimum(idx, h * w - 1)].get().astype(jnp.uint16)
-    s = jnp.where(idx < h * w, s, 0)
-    return jnp.stack([x, y], axis=-1), s, n, n > max_points

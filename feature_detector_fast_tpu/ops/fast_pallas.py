@@ -1,0 +1,193 @@
+"""Fused single-pass Pallas TPU kernel for FAST detection.
+
+This is the TPU re-design of the reference's hot path: the AVX2 prefilter +
+dual-gather arc test + score + streaming nonmax (fast_simd.rs:301-620) all
+become ONE VMEM-resident pass per row-tile.  Differences from the XLA dense
+pipeline in `ops.fast` (same semantics, different scheduling):
+
+  * the 16 circle taps never touch HBM — they are lane-rolls / sublane
+    slices of the tile already in VMEM, so HBM traffic is exactly
+    "read u8 image once, write mask/score once" instead of XLA's
+    materialized intermediates,
+  * the arc test, scores, and 3x3 nonmax are computed in the same kernel
+    invocation while the tile is hot in VMEM.
+
+Tiling scheme: grid over 32-row tiles of the (padded) image.  A tile's
+nonmax needs scores of rows +-1 and scores need taps of rows +-3, so each
+program views a 40-row window: the same input is passed three times with
+block index maps (i-1, i, i+1) (edge-clamped; clamped rows only feed
+border pixels that are masked off), giving Pallas' pipeline automatic
+double-buffering of the halo — no manual DMA.  Columns handle their +-3
+halo by lane-rolls inside the full-width tile; wrapped lanes only affect
+masked border columns.
+
+Semantics are bit-identical to `ops.fast` (differentially tested); see
+that module's docstring for the reference file:line anchors.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import NonmaxMode
+from ..geometry import CIRCLE, RADIUS
+from . import windows
+
+TILE_H = 32
+LANES = 128
+# Window rows around a tile: nonmax halo (1) + circle radius (3).
+_HALO = RADIUS + 1  # 4
+
+
+def _roll_cols(plane: jax.Array, dx: int) -> jax.Array:
+    """Circular column shift: out[r, c] = plane[r, c + dx].  pltpu.roll only
+    accepts non-negative shifts, so negative moves wrap around the width."""
+    if not dx:
+        return plane
+    wp = plane.shape[1]
+    return pltpu.roll(plane, (-dx) % wp, axis=1)
+
+
+def _shifted(plane: jax.Array, dx: int, dy: int, rows: int, row0: int) -> jax.Array:
+    """plane[(row0 + dy) : (row0 + dy + rows), :] with columns rolled by
+    -dx: out[r, c] = plane[row0 + dy + r, c + dx] (mod lane wrap)."""
+    sl = jax.lax.slice_in_dim(plane, row0 + dy, row0 + dy + rows, axis=0)
+    return _roll_cols(sl, dx)
+
+
+def _kernel(img_prev, img_cur, img_next, mask_out, score_out=None, *, mode: NonmaxMode,
+            threshold: int, count: int, height: int, width: int):
+    i = pl.program_id(0)
+
+    # 40-row window around this tile, int32.
+    window = jnp.concatenate(
+        [
+            img_prev[TILE_H - _HALO :, :],
+            img_cur[:, :],
+            img_next[:_HALO, :],
+        ],
+        axis=0,
+    ).astype(jnp.int32)
+    wp = window.shape[1]
+
+    # Rows for which we compute candidacy/scores: tile rows +-1 (nonmax halo).
+    rows = TILE_H + 2
+    row0 = _HALO - 1  # window row of the first computed row (tile row -1)
+    t = int(threshold)
+
+    center = jax.lax.slice_in_dim(window, row0, row0 + rows, axis=0)
+    taps = [_shifted(window, dx, dy, rows, row0) for (dx, dy) in CIRCLE]
+
+    bright = [p - center > t for p in taps]
+    dark = [center - p > t for p in taps]
+    is_b = windows.ring_any_window_all(bright, count, jnp.logical_and, jnp.logical_or)
+    is_d = windows.ring_any_window_all(dark, count, jnp.logical_and, jnp.logical_or)
+
+    # Interior mask: global x in [3, W-4], y in [3, H-4].
+    gy = (i * TILE_H - 1) + jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 0)
+    gx = jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 1)
+    interior = (
+        (gy >= RADIUS) & (gy < height - RADIUS)
+        & (gx >= RADIUS) & (gx < width - RADIUS)
+    )
+    kp = (is_b | is_d) & interior
+
+    if mode is NonmaxMode.OFF:
+        mask_out[:, :] = jax.lax.slice_in_dim(kp, 1, 1 + TILE_H, axis=0).astype(
+            jnp.uint8
+        )
+        return
+
+    if mode is NonmaxMode.MAX_THRESHOLD:
+        diffs = [center - p for p in taps]
+        eh = windows.ring_max_of_window_min(diffs, count, jnp.minimum, jnp.maximum)
+        el = windows.ring_min_of_window_max(diffs, count, jnp.minimum, jnp.maximum)
+        score = jnp.minimum(jnp.abs(eh), jnp.abs(el))
+    else:  # SUM_ABSOLUTE
+        sum_light = jnp.zeros((rows, wp), jnp.int32)
+        sum_dark = jnp.zeros((rows, wp), jnp.int32)
+        for p in taps:
+            d = center - p
+            sum_light = sum_light + jnp.where(d > t, d - t, 0)
+            sum_dark = sum_dark + jnp.where(-d > t, -d - t, 0)
+        score = jnp.maximum(sum_light, sum_dark)
+
+    s = jnp.where(kp, score, 0)
+
+    # 3x3 strict-max nonmax, computed on the full 34-row plane with sublane
+    # rolls (Mosaic handles rolls better than overlapping offset slices);
+    # roll wraparound only touches the two halo rows, which are discarded
+    # by the final central slice.
+    neigh = jnp.full((rows, wp), -1, jnp.int32)
+    for dy in (-1, 0, 1):
+        base = s if dy == 0 else pltpu.roll(s, (-dy) % rows, axis=0)
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            neigh = jnp.maximum(neigh, _roll_cols(base, dx))
+    keep = kp & (s > neigh) & (gy != RADIUS) & (gy != height - RADIUS - 1)
+
+    mask_out[:, :] = jax.lax.slice_in_dim(keep, 1, 1 + TILE_H, axis=0).astype(
+        jnp.uint8
+    )
+    score_out[:, :] = jax.lax.slice_in_dim(s, 1, 1 + TILE_H, axis=0).astype(
+        jnp.uint16
+    )
+
+
+def _pad_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def detect_dense_pallas(
+    image: jax.Array, threshold: int, count: int, nonmax: NonmaxMode,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused Pallas detection: returns (mask bool (H, W), score u16 (H, W)),
+    bit-identical to `ops.fast.detect_dense`."""
+    nonmax = NonmaxMode(nonmax)
+    h, w = image.shape
+    hp, wp = _pad_to(h, TILE_H), _pad_to(w, LANES)
+    img = jnp.pad(image, ((0, hp - h), (0, wp - w)))
+    n_tiles = hp // TILE_H
+
+    kernel = functools.partial(
+        _kernel,
+        mode=nonmax,
+        threshold=int(threshold),
+        count=int(count),
+        height=h,
+        width=w,
+    )
+    clamp = lambda v: jnp.clip(v, 0, n_tiles - 1)
+    n_outs = 1 if nonmax is NonmaxMode.OFF else 2
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((TILE_H, wp), lambda i: (clamp(i - 1), 0)),
+            pl.BlockSpec((TILE_H, wp), lambda i: (i, 0)),
+            pl.BlockSpec((TILE_H, wp), lambda i: (clamp(i + 1), 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_H, wp), lambda i: (i, 0))
+            for _ in range(n_outs)
+        ],
+        out_shape=(
+            [jax.ShapeDtypeStruct((hp, wp), jnp.uint8)]
+            + [jax.ShapeDtypeStruct((hp, wp), jnp.uint16)] * (n_outs - 1)
+        ),
+        interpret=bool(interpret),
+    )(img, img, img)
+
+    mask = outs[0][:h, :w].astype(bool)
+    if nonmax is NonmaxMode.OFF:
+        return mask, jnp.zeros((h, w), jnp.uint16)
+    return mask, outs[1][:h, :w]

@@ -1,0 +1,57 @@
+"""Hierarchical word compaction: parity with direct nonzero, order, caps."""
+
+import numpy as np
+import pytest
+
+from feature_detector_fast_tpu.ops import compact
+
+
+def reference_points(mask):
+    ys, xs = np.nonzero(mask)
+    return np.stack([xs, ys], axis=-1).astype(np.uint32)
+
+
+@pytest.mark.parametrize("shape", [(8, 8), (26, 32), (33, 70), (200, 300)])
+@pytest.mark.parametrize("density", [0.0, 0.01, 0.3, 1.0])
+def test_word_compaction_roundtrip(rng, shape, density):
+    mask = rng.random(shape) < density
+    h, w = shape
+    cap = -(-h * w // 32)  # no overflow possible
+    widx, wbits, n, n_words = compact.compact_mask_words(mask, cap)
+    assert int(n) == mask.sum()
+    got = compact.expand_words_host(np.asarray(widx), np.asarray(wbits), int(n), w)
+    np.testing.assert_array_equal(got, reference_points(mask))
+
+
+def test_word_compaction_row_major_order(rng):
+    mask = rng.random((40, 64)) < 0.1
+    widx, wbits, n, n_words = compact.compact_mask_words(mask, 128)
+    got = compact.expand_words_host(np.asarray(widx), np.asarray(wbits), int(n), 64)
+    keys = [(int(y), int(x)) for x, y in got]
+    assert keys == sorted(keys)
+
+
+def test_word_compaction_overflow_detectable(rng):
+    mask = np.ones((32, 32), bool)
+    widx, wbits, n, n_words = compact.compact_mask_words(mask, 4)
+    assert int(n_words) == 32 * 32 // 32
+    assert int(n_words) > 4  # caller must retry
+
+
+def test_packed_batch_roundtrip(rng):
+    from feature_detector_fast_tpu import Config, NonmaxMode
+    from feature_detector_fast_tpu.api import (
+        _detect_compact_batch_packed,
+        detect_arrays,
+        unpack_batch_packed,
+    )
+
+    imgs = rng.integers(0, 256, (3, 26, 64), np.uint8)
+    cap = 64
+    packed = np.asarray(
+        _detect_compact_batch_packed(imgs, 16, 9, NonmaxMode.MAX_THRESHOLD, cap)
+    )
+    kps = unpack_batch_packed(packed, cap, 64)
+    for i in range(3):
+        want = detect_arrays(imgs[i], Config(16, 9, NonmaxMode.MAX_THRESHOLD))
+        np.testing.assert_array_equal(kps[i], want)

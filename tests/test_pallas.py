@@ -1,0 +1,55 @@
+"""Pallas fused kernel vs the XLA dense pipeline (interpret mode on CPU).
+
+Tier-1/2 analogue for the fused kernel: bit-identical masks and scores on
+fuzz images and the committed real frame, across configs, counts, and
+awkward shapes (tile remainders, tiny images, flat images).
+"""
+
+import numpy as np
+import pytest
+
+from feature_detector_fast_tpu.config import Config, NonmaxMode
+from feature_detector_fast_tpu.ops import fast, fast_pallas
+
+CONFIGS = [
+    (16, 9, NonmaxMode.OFF),
+    (16, 9, NonmaxMode.MAX_THRESHOLD),
+    (16, 9, NonmaxMode.SUM_ABSOLUTE),
+    (10, 12, NonmaxMode.MAX_THRESHOLD),
+    (32, 16, NonmaxMode.SUM_ABSOLUTE),
+]
+
+
+def assert_same(img, threshold, count, nonmax):
+    m1, s1 = fast.detect_dense_jit(img, threshold, count, nonmax)
+    m2, s2 = fast_pallas.detect_dense_pallas(img, threshold, count, nonmax, True)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    if nonmax is not NonmaxMode.OFF:
+        # Score maps must agree wherever a candidate exists; elsewhere the
+        # dense path stores 0 and so does the kernel.
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+
+@pytest.mark.parametrize("cfg", CONFIGS, ids=str)
+def test_pallas_matches_dense_random(rng, cfg):
+    img = rng.integers(0, 256, (64, 128), np.uint8)
+    assert_same(img, *cfg)
+
+
+@pytest.mark.parametrize(
+    "shape", [(26, 32), (32, 128), (40, 200), (97, 130), (200, 300)]
+)
+def test_pallas_shapes(rng, shape):
+    img = rng.integers(0, 256, shape, np.uint8)
+    assert_same(img, 16, 9, NonmaxMode.MAX_THRESHOLD)
+    assert_same(img, 16, 9, NonmaxMode.OFF)
+
+
+def test_pallas_reference_image(reference_image):
+    for cfg in CONFIGS:
+        assert_same(reference_image, *cfg)
+
+
+def test_pallas_flat_image():
+    img = np.full((64, 128), 128, np.uint8)
+    assert_same(img, 16, 9, NonmaxMode.SUM_ABSOLUTE)
