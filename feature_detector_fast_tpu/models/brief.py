@@ -1,0 +1,147 @@
+"""BRIEF binary descriptors, TPU-style.
+
+New scope beyond the reference detector (BASELINE.json north_star:
+"BRIEF-style descriptor extraction and matching").  Design choices for TPU:
+
+  * fixed-capacity keypoint slots (top-K by score) — static shapes under
+    jit; invalid slots carry a validity bit instead of changing shape,
+  * 5x5 box smoothing computed densely (fused XLA cumsum/slice ops) before
+    sampling — the classic BRIEF pre-smoothing,
+  * the 256 point-pair samples are one batched gather from the smoothed
+    image (K x 512 samples), the only gather in the front-end,
+  * descriptors packed to (K, 8) uint32; Hamming matching happens on the
+    MXU via +-1 matmul (see models.match).
+
+The sampling pattern is a fixed, seeded isotropic Gaussian pair set
+(classic BRIEF-256), generated once at import with numpy so it is
+identical across hosts and backends.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+#: Descriptor length in bits and packed uint32 words.
+BITS = 256
+WORDS = BITS // 32
+
+#: Patch half-size: pattern offsets lie in [-PATCH_R, PATCH_R].
+PATCH_R = 15
+#: Keypoints closer than this to the border get invalid descriptors
+#: (pattern + smoothing halo).
+BORDER = PATCH_R + 3
+
+
+def _make_pattern(seed: int = 0x1EAF) -> np.ndarray:
+    """(BITS, 2, 2) int32 array of (dx, dy) pairs, Gaussian sigma = R/2,
+    clipped to the patch."""
+    rng = np.random.default_rng(seed)
+    pts = rng.normal(0.0, PATCH_R / 2.0, size=(BITS, 2, 2))
+    return np.clip(np.round(pts), -PATCH_R, PATCH_R).astype(np.int32)
+
+
+PATTERN: np.ndarray = _make_pattern()
+
+
+def box_blur5(image: jax.Array) -> jax.Array:
+    """5x5 box sum via separable cumulative sums (dense, fused).  Returns
+    int32 sums (not divided — BRIEF only compares, scale cancels)."""
+    img = image.astype(jnp.int32)
+
+    def box1d(x, axis):
+        c = jnp.cumsum(x, axis=axis)
+        n = x.shape[axis]
+        lead = jax.lax.slice_in_dim(c, 4, n, axis=axis)
+        lag = jax.lax.slice_in_dim(c, 0, n - 4, axis=axis)
+        inner = lead - lag + jax.lax.slice_in_dim(x, 0, n - 4, axis=axis)
+        # pad edges by clamping (2 rows/cols each side)
+        first = jax.lax.slice_in_dim(inner, 0, 1, axis=axis)
+        last = jax.lax.slice_in_dim(inner, inner.shape[axis] - 1, inner.shape[axis], axis=axis)
+        reps_first = jnp.concatenate([first] * 2, axis=axis)
+        reps_last = jnp.concatenate([last] * 2, axis=axis)
+        return jnp.concatenate([reps_first, inner, reps_last], axis=axis)
+
+    return box1d(box1d(img, 0), 1)
+
+
+class Keypoints(NamedTuple):
+    """Fixed-capacity keypoint set (device-resident, static shape)."""
+
+    xy: jax.Array  # (K, 2) int32 — (x, y); undefined where ~valid
+    score: jax.Array  # (K,) int32
+    valid: jax.Array  # (K,) bool
+
+
+def select_topk(mask: jax.Array, score: jax.Array, k: int) -> Keypoints:
+    """Deterministic top-K keypoints by (score, then row-major position).
+
+    Scores are clipped to 1023 for the selection key so (score, index)
+    packs into int32 — ties then break toward smaller row-major index,
+    which keeps selection deterministic across backends.
+    """
+    h, w = mask.shape
+    flat_mask = mask.reshape(-1)
+    flat_score = jnp.minimum(score.reshape(-1).astype(jnp.int32), 1023)
+    idx = jnp.arange(h * w, dtype=jnp.int32)
+    key = jnp.where(flat_mask, (flat_score << 21) | (h * w - 1 - idx), -1)
+    topv, topi = jax.lax.top_k(key, k)
+    valid = topv >= 0
+    sel = jnp.where(valid, topi, 0)
+    x = (sel % w).astype(jnp.int32)
+    y = (sel // w).astype(jnp.int32)
+    s = jnp.where(valid, flat_score[sel], 0)
+    return Keypoints(jnp.stack([x, y], axis=-1), s, valid)
+
+
+@functools.partial(jax.jit, static_argnums=())
+def describe(image: jax.Array, kps: Keypoints) -> Tuple[jax.Array, jax.Array]:
+    """BRIEF-256 descriptors at the keypoint slots.
+
+    Returns (desc (K, WORDS) uint32, valid (K,) bool) — valid goes False
+    for slots whose patch leaves the image.
+    """
+    h, w = image.shape
+    blur = box_blur5(image).reshape(-1)
+
+    pat = jnp.asarray(PATTERN)  # (BITS, 2, 2)
+    off_flat = pat[..., 1] * w + pat[..., 0]  # (BITS, 2)
+
+    base = kps.xy[:, 1] * w + kps.xy[:, 0]  # (K,)
+    inb = (
+        kps.valid
+        & (kps.xy[:, 0] >= BORDER)
+        & (kps.xy[:, 0] < w - BORDER)
+        & (kps.xy[:, 1] >= BORDER)
+        & (kps.xy[:, 1] < h - BORDER)
+    )
+    safe_base = jnp.where(inb, base, 0)
+    sample_idx = safe_base[:, None, None] + off_flat[None, :, :]  # (K, BITS, 2)
+    samples = blur[jnp.clip(sample_idx, 0, h * w - 1)]
+    bits = samples[..., 0] < samples[..., 1]  # (K, BITS)
+
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    grouped = bits.reshape(-1, WORDS, 32).astype(jnp.uint32)
+    desc = (grouped << shifts[None, None, :]).sum(axis=-1, dtype=jnp.uint32)
+    return desc, inb
+
+
+def detect_and_describe(
+    image: jax.Array, threshold: int, count: int, k: int
+) -> Tuple[Keypoints, jax.Array, jax.Array]:
+    """Front-end step: FAST (SumAbsolute scores) -> top-K -> BRIEF.
+
+    Returns (keypoints, desc (K, WORDS) uint32, desc_valid (K,) bool);
+    fully fused under jit, device-resident.
+    """
+    from ..api import _detect_dense_best
+    from ..config import NonmaxMode
+
+    mask, score = _detect_dense_best(image, threshold, count, NonmaxMode.SUM_ABSOLUTE)
+    kps = select_topk(mask, score, k)
+    desc, dvalid = describe.__wrapped__(image, kps)
+    return kps, desc, dvalid

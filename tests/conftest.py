@@ -33,6 +33,8 @@ def reference_image() -> np.ndarray:
                                    "Screenshot315_torch_grey.png"))
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng() -> np.random.Generator:
+    """Fresh deterministic stream per test — results must not depend on
+    which other tests ran first."""
     return np.random.default_rng(0x5EED)
