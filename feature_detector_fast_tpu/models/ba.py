@@ -1,0 +1,238 @@
+"""Bundle adjustment with Schur-complement elimination, TPU-style.
+
+New scope (BASELINE.json north_star: "distributed bundle adjustment with
+... the Schur-complement reduction executed via psum/all-gather
+collectives").
+
+Problem: camera poses T_c (world->camera, SE3), landmarks X_l (world, 3D),
+observations (cam, lm, uv) in normalized image coordinates; minimize
+sum ||project(T_c X_l) - uv||^2 with Levenberg damping.
+
+TPU design — everything is flat per-observation arrays + segment reductions:
+
+  * per-observation residuals and the (2x6, 2x3) Jacobian blocks come from
+    one vmapped jacfwd — no hand-derived block algebra,
+  * Hll (3x3 per landmark), b_c, b_l accumulate via segment_sum over
+    observations,
+  * the reduced camera system S = Hcc - W Hll^-1 W^T is never formed:
+    CG runs on its matvec, which is two segment reductions per
+    application (obs -> landmark, obs -> camera).  Segment reductions over
+    sharded observations become psum-of-partials on a device mesh — this
+    exact function is reused by parallel.ba_sharded,
+  * back-substitution recovers landmark updates from the camera step.
+
+Gauge freedom: camera 0 is held fixed (delta masked), and for monocular
+problems the caller should also fix scale (e.g. freeze camera 1's
+translation norm or a landmark depth); tests use two fixed cameras.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import lie
+
+
+class BAProblem(NamedTuple):
+    poses: jax.Array  # (C, 4, 4) world->camera
+    points: jax.Array  # (L, 3)
+    obs_cam: jax.Array  # (O,) int32
+    obs_lm: jax.Array  # (O,) int32
+    obs_uv: jax.Array  # (O, 2) normalized image coords
+    obs_valid: jax.Array  # (O,) bool
+    n_fixed_cams: int = 1  # leading cameras held constant (gauge)
+
+
+def project(pose: jax.Array, X: jax.Array) -> jax.Array:
+    """world->camera pose (4,4), landmark (3,) -> normalized (2,)."""
+    pc = lie.se3_apply(pose, X)
+    z = jnp.maximum(pc[..., 2], 1e-6)
+    return pc[..., :2] / z[..., None]
+
+
+def _residual_one(delta_c, delta_l, pose, X, uv):
+    """Residual of one observation under local updates (6,), (3,)."""
+    T = lie.se3_exp(delta_c) @ pose
+    return project(T, X + delta_l) - uv
+
+
+def _jacobians(p: BAProblem):
+    """Per-observation residuals r (O, 2) and Jacobians Jc (O, 2, 6),
+    Jl (O, 2, 3) at delta = 0, masked by validity."""
+    poses_o = p.poses[p.obs_cam]
+    pts_o = p.points[p.obs_lm]
+    z6 = jnp.zeros(6, p.poses.dtype)
+    z3 = jnp.zeros(3, p.poses.dtype)
+
+    def one(pose, X, uv):
+        r = _residual_one(z6, z3, pose, X, uv)
+        Jc = jax.jacfwd(lambda d: _residual_one(d, z3, pose, X, uv))(z6)
+        Jl = jax.jacfwd(lambda d: _residual_one(z6, d, pose, X, uv))(z3)
+        return r, Jc, Jl
+
+    r, Jc, Jl = jax.vmap(one)(poses_o, pts_o, p.obs_uv)
+    valid = p.obs_valid
+    r = jnp.where(valid[:, None], r, 0.0)
+    Jc = jnp.where(valid[:, None, None], Jc, 0.0)
+    Jl = jnp.where(valid[:, None, None], Jl, 0.0)
+    # gauge: zero out Jacobians of fixed cameras
+    free = p.obs_cam >= p.n_fixed_cams
+    Jc = jnp.where(free[:, None, None], Jc, 0.0)
+    return r, Jc, Jl
+
+
+def _segment_sum(vals: jax.Array, idx: jax.Array, num: int) -> jax.Array:
+    return jnp.zeros((num,) + vals.shape[1:], vals.dtype).at[idx].add(vals)
+
+
+class _System(NamedTuple):
+    r: jax.Array
+    Jc: jax.Array
+    Jl: jax.Array
+    Hll_inv: jax.Array  # (L, 3, 3) damped inverse
+    b_c: jax.Array  # (C, 6)  = Jc^T r per camera
+    b_l: jax.Array  # (L, 3)  = Jl^T r per landmark
+
+
+def _build_system(p: BAProblem, damping) -> _System:
+    r, Jc, Jl = _jacobians(p)
+    C = p.poses.shape[0]
+    L = p.points.shape[0]
+    Hll = _segment_sum(jnp.einsum("oij,oik->ojk", Jl, Jl), p.obs_lm, L)
+    Hll = Hll + damping * jnp.eye(3, dtype=Hll.dtype)
+    Hll_inv = jnp.linalg.inv(Hll)
+    b_c = _segment_sum(jnp.einsum("oij,oi->oj", Jc, r), p.obs_cam, C)
+    b_l = _segment_sum(jnp.einsum("oij,oi->oj", Jl, r), p.obs_lm, L)
+    return _System(r, Jc, Jl, Hll_inv, b_c, b_l)
+
+
+def _schur_matvec(sys: _System, p: BAProblem, v: jax.Array, damping,
+                  psum=None) -> jax.Array:
+    """Apply the reduced camera matrix S = Hcc + damp*I - W Hll^-1 W^T to
+    v (C, 6).  Two obs->segment reductions; `psum` (if given) reduces
+    partial segment sums across mesh shards — the distributed hook."""
+    C = p.poses.shape[0]
+    L = p.points.shape[0]
+    v_o = v[p.obs_cam]  # (O, 6)
+    Jc_v = jnp.einsum("oij,oj->oi", sys.Jc, v_o)  # (O, 2)
+    # Hcc v (per-camera), as obs partials
+    hcc_v = _segment_sum(jnp.einsum("oij,oi->oj", sys.Jc, Jc_v), p.obs_cam, C)
+    # W^T v per landmark: Jl^T (Jc v)
+    wt_v = _segment_sum(jnp.einsum("oij,oi->oj", sys.Jl, Jc_v), p.obs_lm, L)
+    if psum is not None:
+        hcc_v = psum(hcc_v)
+        wt_v = psum(wt_v)
+    u = jnp.einsum("lij,lj->li", sys.Hll_inv, wt_v)  # (L, 3)
+    # W u per camera: Jc^T (Jl u)
+    Jl_u = jnp.einsum("oij,oj->oi", sys.Jl, u[p.obs_lm])  # (O, 2)
+    w_u = _segment_sum(jnp.einsum("oij,oi->oj", sys.Jc, Jl_u), p.obs_cam, C)
+    if psum is not None:
+        w_u = psum(w_u)
+    return hcc_v + damping * v - w_u
+
+
+def _cg(matvec, b, iters: int):
+    x = jnp.zeros_like(b)
+    r = b
+    p = r
+    rs = jnp.sum(r * r)
+
+    def body(i, state):
+        x, r, p, rs = state
+        ap = matvec(p)
+        alpha = rs / jnp.maximum(jnp.sum(p * ap), 1e-20)
+        x = x + alpha * p
+        r2 = r - alpha * ap
+        rs_new = jnp.sum(r2 * r2)
+        beta = rs_new / jnp.maximum(rs, 1e-20)
+        p2 = r2 + beta * p
+        return x, r2, p2, rs_new
+
+    x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x, r, p, rs))
+    return x
+
+
+def ba_step(p: BAProblem, damping, cg_iters: int, psum=None):
+    """One damped Gauss-Newton step via Schur elimination.
+
+    Returns (new_poses, new_points, cost_before).  With `psum`, the
+    segment reductions are treated as shard-local partials reduced across
+    the mesh (observations sharded; poses/points replicated).
+    """
+    sys = _build_system(p, damping)
+    b_c = sys.b_c
+    b_l = sys.b_l
+    if psum is not None:
+        b_c = psum(b_c)
+        b_l = psum(b_l)
+        # Hll must also be globally reduced; rebuild inverse from partials.
+        L = p.points.shape[0]
+        Hll_partial = _segment_sum(
+            jnp.einsum("oij,oik->ojk", sys.Jl, sys.Jl), p.obs_lm, L
+        )
+        Hll = psum(Hll_partial) + damping * jnp.eye(3, dtype=b_l.dtype)
+        sys = sys._replace(Hll_inv=jnp.linalg.inv(Hll))
+
+    # reduced rhs: -(b_c - W Hll^-1 b_l)
+    u = jnp.einsum("lij,lj->li", sys.Hll_inv, b_l)
+    Jl_u = jnp.einsum("oij,oj->oi", sys.Jl, u[p.obs_lm])
+    w_u = _segment_sum(jnp.einsum("oij,oi->oj", sys.Jc, Jl_u), p.obs_cam,
+                       p.poses.shape[0])
+    if psum is not None:
+        w_u = psum(w_u)
+    rhs = -(b_c - w_u)
+
+    delta_c = _cg(lambda v: _schur_matvec(sys, p, v, damping, psum), rhs,
+                  cg_iters)
+    # n_fixed_cams may arrive traced (it rides inside the problem pytree),
+    # so gauge-fix with a mask rather than a slice.
+    cam_free = jnp.arange(p.poses.shape[0]) >= p.n_fixed_cams
+    delta_c = jnp.where(cam_free[:, None], delta_c, 0.0)
+
+    # back-substitute landmarks: delta_l = -Hll^-1 (b_l + W^T delta_c)
+    Jc_dc = jnp.einsum("oij,oj->oi", sys.Jc, delta_c[p.obs_cam])
+    wt_dc = _segment_sum(jnp.einsum("oij,oi->oj", sys.Jl, Jc_dc), p.obs_lm,
+                         p.points.shape[0])
+    if psum is not None:
+        wt_dc = psum(wt_dc)
+    delta_l = -jnp.einsum("lij,lj->li", sys.Hll_inv, b_l + wt_dc)
+
+    new_poses = lie.se3_exp(delta_c) @ p.poses
+    new_points = p.points + delta_l
+    cost = jnp.sum(sys.r * sys.r)
+    if psum is not None:
+        cost = psum(cost)
+    return new_poses, new_points, cost
+
+
+def total_cost(p: BAProblem) -> jax.Array:
+    r, _, _ = _jacobians(p)
+    return jnp.sum(r * r)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def optimize(p: BAProblem, iterations: int = 10, cg_iters: int = 30,
+             damping: float = 1e-4) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """LM-damped BA.  Returns (poses, points, per-iteration cost).  Steps
+    that increase the cost are rejected (damping fixed — simple but
+    robust for well-conditioned SLAM windows)."""
+
+    def step(carry, _):
+        poses, points = carry
+        pp = p._replace(poses=poses, points=points)
+        new_poses, new_points, _ = ba_step(pp, damping, cg_iters)
+        c_old = total_cost(pp)
+        c_new = total_cost(p._replace(poses=new_poses, points=new_points))
+        better = c_new < c_old
+        poses = jnp.where(better, new_poses, poses)
+        points = jnp.where(better, new_points, points)
+        return (poses, points), jnp.minimum(c_new, c_old)
+
+    (poses, points), costs = jax.lax.scan(
+        step, (p.poses, p.points), None, length=iterations
+    )
+    return poses, points, costs

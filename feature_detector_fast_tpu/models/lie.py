@@ -72,24 +72,38 @@ def so3_exp(w: jax.Array) -> jax.Array:
 
 
 def so3_log(R: jax.Array) -> jax.Array:
-    """Rotation matrix (..., 3, 3) -> axis-angle (..., 3)."""
+    """Rotation matrix (..., 3, 3) -> axis-angle (..., 3).
+
+    Autodiff-safe at (and near) the identity: no arccos-at-1 or
+    norm-at-0 appears in any branch, selected or not — an unselected
+    jnp.where branch that produces inf in its own derivative still
+    poisons gradients with 0 * inf = NaN, so every branch must be finite
+    everywhere.  theta comes from atan2(|skew|, (tr-1)/2) with a guarded
+    sqrt; the near-pi branch clamps its arccos input strictly inside
+    (-1, 1).
+    """
     tr = jnp.trace(R, axis1=-2, axis2=-1)
     cos = jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0)
-    theta = jnp.arccos(cos)
     w = vee(R - jnp.swapaxes(R, -1, -2)) / 2.0  # = sin(theta) * axis
-    small = theta < 1e-4
-    # General: axis * theta = w * theta / sin(theta)
-    scale = jnp.where(small, 1.0 + theta * theta / 6.0, theta / jnp.sin(jnp.where(small, 1.0, theta)))
+    s2 = jnp.sum(w * w, axis=-1)  # = sin(theta)^2
+    small = s2 < 1e-12
+    sin_safe = jnp.sqrt(jnp.where(small, 1.0, s2))
+    theta = jnp.arctan2(sin_safe, cos)
+    # General: log = w * theta / sin(theta); small angles: theta ~ sin,
+    # log = w * (1 + theta^2/6 + ...)
+    scale = jnp.where(small, 1.0 + s2 / 6.0, theta / sin_safe)
     general = w * scale[..., None]
-    # Near pi: use diagonal-based extraction
-    near_pi = theta > jnp.pi - 1e-3
+    # Near pi sin -> 0 while |log| -> pi: extract the axis from the
+    # symmetric part instead.
+    near_pi = cos < -0.999
+    theta_pi = jnp.arccos(jnp.clip(cos, -1.0 + 1e-7, 1.0 - 1e-7))
     diag = jnp.diagonal(R, axis1=-2, axis2=-1)
-    axis_sq = jnp.clip((diag - cos[..., None]) / (1.0 - cos[..., None] + _EPS), 0.0, None)
-    axis = jnp.sqrt(axis_sq)
-    # signs from off-diagonal sums: w_i has sign of (R[k,j]+R[j,k]) pattern;
-    # use the skew part where possible, fall back to positive-x convention.
+    axis_sq = jnp.clip(
+        (diag - cos[..., None]) / (1.0 - cos[..., None] + _EPS), 0.0, None
+    )
+    axis = jnp.sqrt(axis_sq + _EPS)
     sgn = jnp.sign(jnp.where(jnp.abs(w) > 1e-6, w, 1.0))
-    pi_branch = axis * sgn * theta[..., None]
+    pi_branch = axis * sgn * theta_pi[..., None]
     return jnp.where(near_pi[..., None], pi_branch, general)
 
 

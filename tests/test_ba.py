@@ -1,0 +1,107 @@
+"""Bundle adjustment on synthetic scenes with known ground truth."""
+
+import jax
+import numpy as np
+import pytest
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+
+from feature_detector_fast_tpu.models import ba, lie
+
+
+def make_ba_problem(rng, n_cams=6, n_pts=80, noise_px=0.0, perturb=0.05,
+                    drop=0.0):
+    """Cameras on an arc looking at a point cloud; all-visible observation
+    set; returns (gt_poses, gt_points, perturbed BAProblem)."""
+    gt_poses = []
+    for i in range(n_cams):
+        # camera at x = i, looking down +z with slight rotations
+        xi = np.zeros(6)
+        xi[0] = -i * 0.5  # rho_x: translation part (world->cam)
+        xi[4] = 0.05 * np.sin(i)
+        gt_poses.append(np.asarray(lie.se3_exp(jnp.asarray(xi))))
+    gt_poses = np.stack(gt_poses)
+
+    gt_pts = np.stack([
+        rng.uniform(-1, n_cams * 0.5 + 1, n_pts),
+        rng.uniform(-2, 2, n_pts),
+        rng.uniform(5, 9, n_pts),
+    ], axis=-1)
+
+    cams = np.repeat(np.arange(n_cams), n_pts).astype(np.int32)
+    lms = np.tile(np.arange(n_pts), n_cams).astype(np.int32)
+    uv = []
+    for c, l in zip(cams, lms):
+        uvc = np.asarray(ba.project(jnp.asarray(gt_poses[c]),
+                                    jnp.asarray(gt_pts[l])))
+        uv.append(uvc)
+    uv = np.stack(uv)
+    if noise_px:
+        uv = uv + rng.normal(0, noise_px, uv.shape)
+    valid = np.ones(len(cams), bool)
+    if drop:
+        valid &= rng.random(len(cams)) > drop
+
+    # perturb initial estimates (keep the two gauge cameras exact)
+    poses0 = gt_poses.copy()
+    for i in range(2, n_cams):
+        xi = rng.normal(0, perturb, 6)
+        poses0[i] = np.asarray(lie.se3_exp(jnp.asarray(xi))) @ poses0[i]
+    pts0 = gt_pts + rng.normal(0, perturb * 4, gt_pts.shape)
+
+    p = ba.BAProblem(
+        poses=jnp.asarray(poses0),
+        points=jnp.asarray(pts0),
+        obs_cam=jnp.asarray(cams),
+        obs_lm=jnp.asarray(lms),
+        obs_uv=jnp.asarray(uv),
+        obs_valid=jnp.asarray(valid),
+        n_fixed_cams=2,
+    )
+    return gt_poses, gt_pts, p
+
+
+def test_ba_converges_exact_observations(rng):
+    gt_poses, gt_pts, p = make_ba_problem(rng)
+    c0 = float(ba.total_cost(p))
+    poses, points, costs = ba.optimize(p, 15, 40, 1e-6)
+    c1 = float(costs[-1])
+    assert c1 < c0 * 1e-6, (c0, c1)
+    # poses recovered
+    err = np.abs(np.asarray(poses) - gt_poses).max()
+    assert err < 1e-4, err
+
+
+def test_ba_with_noise_and_dropout(rng):
+    gt_poses, gt_pts, p = make_ba_problem(rng, noise_px=5e-4, drop=0.3)
+    c0 = float(ba.total_cost(p))
+    poses, points, costs = ba.optimize(p, 12, 40, 1e-6)
+    assert float(costs[-1]) < c0 * 0.01
+    t_err = np.linalg.norm(np.asarray(poses)[:, :3, 3] - gt_poses[:, :3, 3],
+                           axis=-1).max()
+    assert t_err < 0.02, t_err
+
+
+def test_ba_fixed_cameras_unchanged(rng):
+    gt_poses, gt_pts, p = make_ba_problem(rng)
+    poses, points, _ = ba.optimize(p, 6, 30)
+    np.testing.assert_allclose(np.asarray(poses)[:2], np.asarray(p.poses)[:2],
+                               atol=1e-12)
+
+
+def test_ba_invalid_observations_ignored(rng):
+    gt_poses, gt_pts, p = make_ba_problem(rng)
+    # corrupt half the uv of invalidated observations — no effect expected
+    valid = np.asarray(p.obs_valid).copy()
+    valid[::3] = False
+    uv_bad = np.asarray(p.obs_uv).copy()
+    uv_bad[::3] = 1e3
+    p_masked = p._replace(obs_valid=jnp.asarray(valid))
+    p_corrupt = p._replace(obs_valid=jnp.asarray(valid),
+                           obs_uv=jnp.asarray(uv_bad))
+    r1 = ba.optimize(p_masked, 5, 30)
+    r2 = ba.optimize(p_corrupt, 5, 30)
+    np.testing.assert_allclose(np.asarray(r1[0]), np.asarray(r2[0]), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(r1[1]), np.asarray(r2[1]), atol=1e-9)

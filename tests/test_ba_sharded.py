@@ -1,0 +1,58 @@
+"""Distributed BA on the spoofed 8-device CPU mesh: collective-math
+equivalence with the single-device optimizer (SURVEY.md §4)."""
+
+import jax
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from feature_detector_fast_tpu.models import ba
+from feature_detector_fast_tpu.parallel import ba_sharded, mesh as meshlib
+from test_ba import make_ba_problem
+
+
+def to_f32(p):
+    return p._replace(
+        poses=p.poses.astype(jnp.float32),
+        points=p.points.astype(jnp.float32),
+        obs_uv=p.obs_uv.astype(jnp.float32),
+    )
+
+
+def test_sharded_step_matches_single_device(rng):
+    gt_poses, gt_pts, p = make_ba_problem(rng, n_cams=5, n_pts=40)
+    mesh = meshlib.make_mesh()
+
+    poses1, points1, cost1 = ba.ba_step(p, 1e-6, 30)
+    poses8, points8, cost8 = ba_sharded.ba_step_sharded(p, mesh, 1e-6, 30)
+    # psum partial order changes float summation: tolerance, not bit-exact
+    np.testing.assert_allclose(np.asarray(cost8), np.asarray(cost1), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(poses8), np.asarray(poses1),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(points8), np.asarray(points1),
+                               atol=1e-5)
+
+
+def test_sharded_optimize_converges(rng):
+    gt_poses, gt_pts, p = make_ba_problem(rng, n_cams=5, n_pts=40)
+    mesh = meshlib.make_mesh()
+    c0 = float(ba.total_cost(p))
+    poses, points, costs = ba_sharded.optimize_sharded(p, None, 10, 30, 1e-6,
+                                                      mesh=mesh)
+    assert float(costs[-1]) < c0 * 1e-6
+    err = np.abs(np.asarray(poses) - gt_poses).max()
+    assert err < 1e-3, err
+
+
+def test_sharded_handles_nondivisible_observation_count(rng):
+    gt_poses, gt_pts, p = make_ba_problem(rng, n_cams=4, n_pts=30)
+    # drop 5 observations so O is not a multiple of 8
+    o = int(p.obs_cam.shape[0]) - 5
+    p2 = ba.BAProblem(p.poses, p.points, p.obs_cam[:o], p.obs_lm[:o],
+                      p.obs_uv[:o], p.obs_valid[:o], p.n_fixed_cams)
+    mesh = meshlib.make_mesh()
+    poses1, points1, cost1 = ba.ba_step(p2, 1e-6, 20)
+    poses8, points8, cost8 = ba_sharded.ba_step_sharded(p2, mesh, 1e-6, 20)
+    np.testing.assert_allclose(np.asarray(poses8), np.asarray(poses1),
+                               atol=1e-6)

@@ -1,0 +1,100 @@
+"""Pose-graph optimization on synthetic graphs with known ground truth."""
+
+import jax
+import numpy as np
+import pytest
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+
+from feature_detector_fast_tpu.models import lie, posegraph
+from feature_detector_fast_tpu.utils.metrics import ate_rmse
+
+
+def make_ring_graph(rng, n=12, odom_noise=0.05, loop_closure=True):
+    """Ground-truth poses around a circle; noisy odometry edges + loop
+    closures.  Returns (gt_poses, graph with noisy initial poses)."""
+    gt = []
+    for i in range(n):
+        a = 2 * np.pi * i / n
+        xi = np.array([np.cos(a) * 3, np.sin(a) * 3, 0.1 * np.sin(2 * a),
+                       0, 0, a])
+        gt.append(np.asarray(lie.se3_exp(jnp.asarray(xi))))
+    gt = np.stack(gt)
+
+    edges = []
+    for i in range(n - 1):
+        edges.append((i, i + 1))
+    if loop_closure:
+        edges.append((n - 1, 0))
+        edges.append((0, n // 2))
+    ei = np.array([e[0] for e in edges], np.int32)
+    ej = np.array([e[1] for e in edges], np.int32)
+    eT = []
+    for i, j in edges:
+        rel = np.linalg.inv(gt[i]) @ gt[j]
+        noise = lie.se3_exp(jnp.asarray(rng.normal(0, odom_noise, 6) * 0.2))
+        eT.append(rel @ np.asarray(noise))
+    eT = np.stack(eT)
+
+    # initial poses: integrate noisy odometry
+    init = [gt[0]]
+    for k in range(n - 1):
+        init.append(init[-1] @ eT[k])
+    init = np.stack(init)
+
+    g = posegraph.PoseGraph(
+        poses=jnp.asarray(init),
+        edge_i=jnp.asarray(ei),
+        edge_j=jnp.asarray(ej),
+        edge_T=jnp.asarray(eT),
+        edge_valid=jnp.ones(len(edges), bool),
+        edge_weight=jnp.ones(len(edges), jnp.float64),
+    )
+    return gt, g
+
+
+@pytest.mark.parametrize("solver", ["dense", "cg"])
+def test_posegraph_converges(rng, solver):
+    gt, g = make_ring_graph(rng, n=10, odom_noise=0.08)
+    poses0 = np.asarray(g.poses)
+    cost0 = float((np.asarray(posegraph.edge_residuals(g.poses, g)) ** 2).sum())
+    poses, costs = posegraph.optimize(g, 15, solver, 100)
+    cost1 = float(costs[-1])
+    assert cost1 < cost0 * 0.05, (cost0, cost1)
+    # optimized trajectory closer to ground truth than odometry integration
+    ate_before = ate_rmse(poses0[:, :3, 3], gt[:, :3, 3])
+    ate_after = ate_rmse(np.asarray(poses)[:, :3, 3], gt[:, :3, 3])
+    assert ate_after < ate_before
+
+
+def test_posegraph_perfect_edges_zero_cost(rng):
+    gt, g = make_ring_graph(rng, n=8, odom_noise=0.0)
+    poses, costs = posegraph.optimize(g, 8, "dense")
+    assert float(costs[-1]) < 1e-16
+
+
+def test_posegraph_invalid_edges_ignored(rng):
+    gt, g = make_ring_graph(rng, n=8, odom_noise=0.05)
+    # append garbage edges marked invalid — must not change the result
+    e = len(np.asarray(g.edge_i))
+    g2 = posegraph.PoseGraph(
+        poses=g.poses,
+        edge_i=jnp.concatenate([g.edge_i, jnp.asarray([2, 3], jnp.int32)]),
+        edge_j=jnp.concatenate([g.edge_j, jnp.asarray([5, 1], jnp.int32)]),
+        edge_T=jnp.concatenate([g.edge_T, jnp.stack([jnp.eye(4, dtype=jnp.float64)] * 2)]),
+        edge_valid=jnp.concatenate([g.edge_valid, jnp.zeros(2, bool)]),
+        edge_weight=jnp.concatenate([g.edge_weight, jnp.full(2, 1e6, jnp.float64)]),
+    )
+    p1, c1 = posegraph.optimize(g, 10, "dense")
+    p2, c2 = posegraph.optimize(g2, 10, "dense")
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-10)
+
+
+def test_gauge_pose0_fixed(rng):
+    gt, g = make_ring_graph(rng, n=8, odom_noise=0.05)
+    poses, _ = posegraph.optimize(g, 10, "dense")
+    np.testing.assert_allclose(
+        np.asarray(poses)[0], np.asarray(g.poses)[0], atol=1e-12
+    )
