@@ -111,6 +111,10 @@ def bench_config(batch_np, config, cap) -> tuple:
 def main() -> int:
     import jax
 
+    from feature_detector_fast_tpu.utils import cache as _cache
+
+    _cache.enable()
+
     from feature_detector_fast_tpu import Config, NonmaxMode
 
     img = build_1080p_frame()

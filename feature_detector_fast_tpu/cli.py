@@ -51,6 +51,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     count = int(argv[3]) if len(argv) > 3 else 9
     nonmax = NonmaxMode.parse(argv[4]) if len(argv) > 4 else NonmaxMode.SUM_ABSOLUTE
 
+    from .utils import cache as _cache
+
+    _cache.enable()
     luma = imutil.load_luma8(input_image_file)
     config = Config(threshold=threshold, count=count, nonmax=nonmax)
 

@@ -39,10 +39,15 @@ from ..config import NonmaxMode
 from ..geometry import CIRCLE, RADIUS
 from . import windows
 
-TILE_H = 32
+TILE_H = 16
 LANES = 128
 # Window rows around a tile: nonmax halo (1) + circle radius (3).
 _HALO = RADIUS + 1  # 4
+# TILE_H=16 keeps the 4 shared reduction levels (64 planes of
+# (TILE_H+2, width) i32) inside the 16 MB VMEM budget at width 1920 for
+# every count in 9..=16; 32-row tiles OOM for counts whose window
+# decomposition has >= 3 parts.  Outputs are uint16 because the 8-bit
+# min-tile is (32, 128) — taller than the tile.
 
 
 def _roll_cols(plane: jax.Array, dx: int) -> jax.Array:
@@ -100,7 +105,7 @@ def _kernel(img_prev, img_cur, img_next, mask_out, score_out=None, *, mode: Nonm
 
     if mode is NonmaxMode.OFF:
         mask_out[:, :] = jax.lax.slice_in_dim(kp, 1, 1 + TILE_H, axis=0).astype(
-            jnp.uint8
+            jnp.uint16
         )
         return
 
@@ -134,7 +139,7 @@ def _kernel(img_prev, img_cur, img_next, mask_out, score_out=None, *, mode: Nonm
     keep = kp & (s > neigh) & (gy != RADIUS) & (gy != height - RADIUS - 1)
 
     mask_out[:, :] = jax.lax.slice_in_dim(keep, 1, 1 + TILE_H, axis=0).astype(
-        jnp.uint8
+        jnp.uint16
     )
     score_out[:, :] = jax.lax.slice_in_dim(s, 1, 1 + TILE_H, axis=0).astype(
         jnp.uint16
@@ -181,7 +186,7 @@ def detect_dense_pallas(
             for _ in range(n_outs)
         ],
         out_shape=(
-            [jax.ShapeDtypeStruct((hp, wp), jnp.uint8)]
+            [jax.ShapeDtypeStruct((hp, wp), jnp.uint16)]
             + [jax.ShapeDtypeStruct((hp, wp), jnp.uint16)] * (n_outs - 1)
         ),
         interpret=bool(interpret),

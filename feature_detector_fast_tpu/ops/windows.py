@@ -6,63 +6,76 @@ implements it by rotating a byte mask 16 times and testing all-ones
 scans (fast_simd.rs:663-695).  Neither shape suits a TPU: VPU lanes cannot
 branch per-pixel and rotate-heavy inner loops serialize.
 
-Instead we use an addition-chain reduction.  Let ``g_k[s]`` be the reduction
-(AND / min / max) of ``k`` consecutive ring elements starting at position
-``s``.  Then
+Instead we use doubling chains.  Let ``g_k[s]`` be the reduction (AND /
+min / max) of ``k`` consecutive ring elements starting at position ``s``:
 
-    g_1[s]     = m[s]
-    g_{a+b}[s] = combine(g_a[s], g_b[(s + a) mod 16])
+    g_1[s]    = m[s]
+    g_{2k}[s] = combine(g_k[s], g_k[(s + k) mod 16])
 
-so any window length n is reached in O(log n) combine layers, each a pure
-elementwise VPU op over whole image planes.  The ring is represented as a
-Python list of 16 planes — ring rotation is list re-indexing at trace time,
-so compiled code contains only elementwise ops with zero data movement.
+Only the power-of-two levels {1, 2, 4, 8} are kept live (they are shared
+by every window length); an arbitrary length n window at start s is then
+folded on the fly from n's binary decomposition —
+``w_n[s] = g_8[s] . g_4[s+8] . g_1[s+12]`` for n = 13 — and immediately
+reduced into the accumulator.  This caps resident planes at 4 levels x 16,
+which keeps the fused Pallas kernel inside the 16 MB VMEM budget at full
+1080p width for every count in 9..=16 (a 5th live level OOMs at
+width 1920).
 
 These helpers are array-library agnostic: they work for jnp arrays, numpy
-arrays, or Pallas in-VMEM values, since they only call the supplied combine.
+arrays, or Pallas in-VMEM values, since they only call the supplied
+combine.
 """
 
 from __future__ import annotations
 
-from typing import Callable, List, Sequence, TypeVar
+from typing import Callable, Dict, List, Sequence, TypeVar
 
 T = TypeVar("T")
 
 RING = 16
 
 
-def ring_windowed(
-    planes: Sequence[T],
-    n: int,
-    combine: Callable[[T, T], T],
-) -> List[T]:
-    """All 16 circular windowed reductions of length ``n``.
+def _power_levels(planes: Sequence[T], combine) -> Dict[int, List[T]]:
+    lv: Dict[int, List[T]] = {1: list(planes)}
+    for k in (2, 4, 8):
+        h = k // 2
+        lv[k] = [combine(lv[h][s], lv[h][(s + h) % RING]) for s in range(RING)]
+    return lv
 
-    Returns ``out`` with ``out[s] = combine(planes[s], planes[s+1], ...,
-    planes[(s+n-1) % 16])`` for each start ``s`` in 0..16.
 
-    ``combine`` must be associative (AND, OR, min, max, +).
-    """
-    if not (1 <= n <= 2 * RING):
-        raise ValueError(f"window length must be in 1..=32, got {n}")
+def _decompose(n: int) -> List[int]:
+    """Split n in 1..=16 into power-of-two parts <= 8 (16 -> [8, 8])."""
+    if n == RING:
+        return [8, 8]
+    return [bit for bit in (8, 4, 2, 1) if n & bit]
+
+
+def _window_at(lv: Dict[int, List[T]], n: int, s: int, combine) -> T:
+    """Reduction of the length-n window starting at s, folded from the
+    power-of-two decomposition of n over the shared levels."""
+    acc = None
+    off = 0
+    for part in _decompose(n):
+        term = lv[part][(s + off) % RING]
+        acc = term if acc is None else combine(acc, term)
+        off += part
+    return acc
+
+
+def _check(planes: Sequence[T], n: int) -> None:
+    if not (1 <= n <= RING):
+        raise ValueError(f"window length must be in 1..=16, got {n}")
     if len(planes) != RING:
         raise ValueError(f"expected {RING} planes, got {len(planes)}")
 
-    # cache[k] = list of 16 planes, cache[k][s] = reduction of k starting at s
-    cache = {1: list(planes)}
 
-    def get(k: int) -> List[T]:
-        got = cache.get(k)
-        if got is not None:
-            return got
-        half = k // 2
-        a = get(half)
-        b = get(k - half)
-        out = [combine(a[s], b[(s + half) % RING]) for s in range(RING)]
-        cache[k] = out
-        return out
-
-    return get(n)
+def ring_windowed(planes: Sequence[T], n: int, combine) -> List[T]:
+    """All 16 circular windowed reductions of length ``n``:
+    ``out[s] = combine(planes[s], ..., planes[(s+n-1) % 16])``.
+    ``combine`` must be associative (AND, OR, min, max, +)."""
+    _check(planes, n)
+    lv = _power_levels(planes, combine)
+    return [_window_at(lv, n, s, combine) for s in range(RING)]
 
 
 def ring_any_window_all(planes: Sequence[T], n: int, logical_and, logical_or) -> T:
@@ -72,10 +85,12 @@ def ring_any_window_all(planes: Sequence[T], n: int, logical_and, logical_or) ->
     point i exceeds the threshold"; the result is the per-pixel keypoint
     candidacy (reference semantics: opencv_compat.rs:140-165).
     """
-    windows = ring_windowed(planes, n, logical_and)
-    acc = windows[0]
-    for s in range(1, RING):
-        acc = logical_or(acc, windows[s])
+    _check(planes, n)
+    lv = _power_levels(planes, logical_and)
+    acc = None
+    for s in range(RING):
+        w = _window_at(lv, n, s, logical_and)
+        acc = w if acc is None else logical_or(acc, w)
     return acc
 
 
@@ -85,10 +100,12 @@ def ring_max_of_window_min(planes: Sequence[T], n: int, minimum, maximum) -> T:
     Used by the MaxThreshold score: ``extreme_highest`` in the reference
     (opencv_compat.rs:195-199).
     """
-    windows = ring_windowed(planes, n, minimum)
-    acc = windows[0]
-    for s in range(1, RING):
-        acc = maximum(acc, windows[s])
+    _check(planes, n)
+    lv = _power_levels(planes, minimum)
+    acc = None
+    for s in range(RING):
+        w = _window_at(lv, n, s, minimum)
+        acc = w if acc is None else maximum(acc, w)
     return acc
 
 
@@ -97,8 +114,10 @@ def ring_min_of_window_max(planes: Sequence[T], n: int, minimum, maximum) -> T:
 
     ``extreme_lowest`` in the reference (opencv_compat.rs:201-204).
     """
-    windows = ring_windowed(planes, n, maximum)
-    acc = windows[0]
-    for s in range(1, RING):
-        acc = minimum(acc, windows[s])
+    _check(planes, n)
+    lv = _power_levels(planes, maximum)
+    acc = None
+    for s in range(RING):
+        w = _window_at(lv, n, s, maximum)
+        acc = w if acc is None else minimum(acc, w)
     return acc
