@@ -51,8 +51,16 @@ CAPS = {"off": 1 << 14, "max_threshold": 1 << 13, "sum_absolute": 1 << 13}
 
 
 def build_1080p_frame() -> np.ndarray:
+    """Benchmark frame.  Like the reference bench (benchmark.rs:6-7), the
+    INPUT_FILE env var substitutes a real frame; the default is the
+    committed 300x200 frame tiled to 1080p."""
+    import os
+
     from feature_detector_fast_tpu.utils.image import load_luma8
 
+    override = os.environ.get("INPUT_FILE")
+    if override:
+        return load_luma8(override)
     small = load_luma8("media/Screenshot315_torch_grey.png")  # 200x300
     reps_y = -(-1080 // small.shape[0])
     reps_x = -(-1920 // small.shape[1])

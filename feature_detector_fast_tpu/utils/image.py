@@ -44,12 +44,10 @@ def rgb_to_luma16_sum(rgb: np.ndarray) -> np.ndarray:
 
 
 def rgb_to_grey_third(rgb: np.ndarray) -> np.ndarray:
-    """`Rgb8ToLuma16View::to_grey`: first channel / 3 (util.rs:15-25).
-
-    N.B. the reference divides pixel[0] (the red channel) by 3 — mirrored
-    faithfully, quirk included."""
-    rgb = np.asarray(rgb, dtype=np.uint8)
-    return (rgb[..., 0] // 3).astype(np.uint8)
+    """`Rgb8ToLuma16View::to_grey` (util.rs:15-25): pixel[0] of the luma16
+    VIEW is the channel sum (util.rs:37-40), so gray = (R+G+B) / 3 with
+    integer truncation."""
+    return (rgb_to_luma16_sum(rgb) // 3).astype(np.uint8)
 
 
 def load_luma8(path: str) -> np.ndarray:
