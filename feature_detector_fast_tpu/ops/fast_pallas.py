@@ -37,6 +37,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import NonmaxMode
 from ..geometry import CIRCLE, RADIUS
+from ..geometry import NORTH as NORTH_I, EAST as EAST_I, SOUTH as SOUTH_I, \
+    WEST as WEST_I
 from . import windows
 
 TILE_H = 16
@@ -87,6 +89,38 @@ def _kernel(img_prev, img_cur, img_next, mask_out, score_out=None, *, mode: Nonm
     t = int(threshold)
 
     center = jax.lax.slice_in_dim(window, row0, row0 + rows, axis=0)
+
+    # Cardinal-direction prefilter (reference component 2.3,
+    # fast_simd.rs:368-556): any arc of count >= 9 must contain >= 2 of
+    # the 4 cardinal taps (>= 3 for count >= 12), all of one polarity.
+    # Per-lane early-out is impossible on a VPU, but a TILE whose
+    # prefilter is empty everywhere skips the full arc/score/nonmax body.
+    need = 3 if count >= 12 else 2
+    card = [
+        _shifted(window, *CIRCLE[c], rows=rows, row0=row0)
+        for c in (NORTH_I, EAST_I, SOUTH_I, WEST_I)
+    ]
+    nb = sum((p - center > t).astype(jnp.int32) for p in card)
+    nd = sum((center - p > t).astype(jnp.int32) for p in card)
+    tile_has_candidates = jnp.any((nb >= need) | (nd >= need))
+
+    @pl.when(jnp.logical_not(tile_has_candidates))
+    def _():
+        mask_out[:, :] = jnp.zeros((TILE_H, wp), jnp.uint16)
+        if mode is not NonmaxMode.OFF:
+            score_out[:, :] = jnp.zeros((TILE_H, wp), jnp.uint16)
+
+    @pl.when(tile_has_candidates)
+    def _():
+        _kernel_body(
+            window, center, mask_out, score_out, i=i, rows=rows, row0=row0,
+            mode=mode, t=t, count=count, height=height, width=width,
+        )
+
+
+def _kernel_body(window, center, mask_out, score_out, *, i, rows, row0,
+                 mode: NonmaxMode, t: int, count: int, height: int, width: int):
+    wp = window.shape[1]
     taps = [_shifted(window, dx, dy, rows, row0) for (dx, dy) in CIRCLE]
 
     bright = [p - center > t for p in taps]
