@@ -87,6 +87,17 @@ def draw_plus_sized(
             image[py, px] = color
 
 
+def make_circle_image() -> np.ndarray:
+    """Debug image of the 16 circle points: 32x32 RGB with blue dots
+    around center (16, 16) (reference: opencv_compat.rs:69-76)."""
+    from ..geometry import CIRCLE
+
+    img = np.zeros((32, 32, 3), np.uint8)
+    for dx, dy in CIRCLE:
+        img[16 + dy, 16 + dx] = BLUE
+    return img
+
+
 def draw_keypoints(
     luma: np.ndarray, keypoints: Iterable[Tuple[int, int]], color=RED, size: int = 1
 ) -> np.ndarray:
