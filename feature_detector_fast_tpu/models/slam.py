@@ -127,12 +127,19 @@ def _transported_depths(pair: PairEstimate) -> np.ndarray:
 def run_vo_matches(
     pair_data: List[Tuple[np.ndarray, np.ndarray, np.ndarray]],
     config: VOConfig,
+    loop_pairs: Optional[List[Tuple[int, int, np.ndarray, np.ndarray, np.ndarray]]] = None,
+    metrics: Optional[list] = None,
 ) -> np.ndarray:
     """Geometric VO from per-pair normalized correspondences.
 
     pair_data[k] = (pa, pb, valid) for frames (k, k+1), already in
-    normalized camera coordinates.  Returns (F, 4, 4) world_T_cam poses
-    (frame 0 at identity), after pose-graph smoothing.
+    normalized camera coordinates.  ``loop_pairs`` optionally adds
+    non-consecutive constraints (i, j, pa, pb, valid) — loop closures —
+    whose monocular scale is recovered against frame i's local depths
+    (same median-depth trick as odometry chaining).  Returns (F, 4, 4)
+    world_T_cam poses (frame 0 at identity), after pose-graph
+    optimization.  ``metrics``, if given, is appended with one dict per
+    pair (SURVEY.md §5.5 structured per-frame metrics).
     """
     key = jax.random.PRNGKey(config.seed)
     pairs: List[PairEstimate] = []
@@ -143,6 +150,12 @@ def run_vo_matches(
         )
         pairs.append(PairEstimate(
             R, t, 1.0, int(inl.sum()), depths[inl], pa[inl], pb[inl]))
+        if metrics is not None:
+            metrics.append({
+                "pair": (k, k + 1),
+                "matches": int(np.asarray(valid).sum()),
+                "inliers": int(inl.sum()),
+            })
 
     scales = _chain_scales(pairs)
 
@@ -161,15 +174,52 @@ def run_vo_matches(
         poses.append(poses[-1] @ rel)
     poses = np.stack(poses)
 
-    # pose-graph smoothing over the chained odometry (adds value once
-    # loop closures / extra edges exist; kept for pipeline completeness)
+    edge_i = list(range(n - 1))
+    edge_j = list(range(1, n))
+    edge_T = list(rels)
+    edge_w = [1.0] * (n - 1)
+
+    # Loop-closure edges: estimate relative pose (i -> j), recover its
+    # monocular scale by comparing frame-i triangulated depths against the
+    # odometry chain's frame-i depths (shared-coordinate median ratio).
+    for (i, j, pa, pb, valid) in loop_pairs or []:
+        key, sub = jax.random.split(key)
+        R, t, inl, depths, X = estimate_pair(
+            jnp.asarray(pa), jnp.asarray(pb), jnp.asarray(valid), sub, config)
+        if int(inl.sum()) < 16 or i >= len(pairs):
+            continue
+        ref = pairs[i]  # pair (i, i+1): depths in frame i at scale scales[i]
+        ref_depths = {tuple(np.round(p, 5)): d * scales[i]
+                      for p, d in zip(ref.inlier_pa, ref.depths_a)}
+        ratios = []
+        for p, d in zip(pa[inl], depths[inl]):
+            dr = ref_depths.get(tuple(np.round(p, 5)))
+            if dr is not None and d > 1e-6:
+                ratios.append(dr / d)
+        if len(ratios) < 8:
+            continue
+        s_loop = float(np.median(ratios))
+        Tji = np.eye(4)
+        Tji[:3, :3] = R
+        Tji[:3, 3] = t * s_loop
+        edge_i.append(i)
+        edge_j.append(j)
+        edge_T.append(np.linalg.inv(Tji))  # measured T_i^-1 T_j
+        edge_w.append(1.0)
+        if metrics is not None:
+            metrics.append({
+                "pair": (i, j), "loop_closure": True,
+                "matches": int(np.asarray(valid).sum()),
+                "inliers": int(inl.sum()), "scale": s_loop,
+            })
+
     g = posegraph.PoseGraph(
         poses=jnp.asarray(poses),
-        edge_i=jnp.arange(n - 1, dtype=jnp.int32),
-        edge_j=jnp.arange(1, n, dtype=jnp.int32),
-        edge_T=jnp.asarray(np.stack(rels)),
-        edge_valid=jnp.ones(n - 1, bool),
-        edge_weight=jnp.ones(n - 1, poses.dtype),
+        edge_i=jnp.asarray(edge_i, jnp.int32),
+        edge_j=jnp.asarray(edge_j, jnp.int32),
+        edge_T=jnp.asarray(np.stack(edge_T)),
+        edge_valid=jnp.ones(len(edge_i), bool),
+        edge_weight=jnp.asarray(edge_w, poses.dtype),
     )
     opt_poses, _ = posegraph.optimize(g, config.pose_graph_iters, "dense")
     return np.asarray(opt_poses)
@@ -200,9 +250,57 @@ def frontend_matches(
     return out
 
 
-def run_vo_images(frames: List[np.ndarray], config: VOConfig) -> np.ndarray:
-    """Full pipeline: images -> trajectory (F, 4, 4)."""
-    return run_vo_matches(frontend_matches(frames, config), config)
+def propose_loop_closures(
+    frames: List[np.ndarray],
+    config: VOConfig,
+    gap: int = 5,
+    min_matches: int = 60,
+) -> List[Tuple[int, int, np.ndarray, np.ndarray, np.ndarray]]:
+    """Descriptor-based loop-closure candidates: match every frame pair
+    at least ``gap`` apart (one MXU matmul each); pairs with enough mutual
+    matches become candidate constraints for `run_vo_matches`."""
+    feats = []
+    for f in frames:
+        kps, desc, dv = brief.detect_and_describe(
+            jnp.asarray(f), config.threshold, config.count, config.max_keypoints
+        )
+        feats.append((kps, desc, dv))
+    out = []
+    for i in range(len(frames)):
+        for j in range(i + gap, len(frames)):
+            kps_a, da, va = feats[i]
+            kps_b, db, vb = feats[j]
+            m = match.match(da, va, db, vb)
+            pa, pb, ok = match.match_points(kps_a.xy, kps_b.xy, m)
+            if int(np.asarray(ok).sum()) < min_matches:
+                continue
+            na = twoview.normalize_points(jnp.asarray(pa, jnp.float32),
+                                          config.camera)
+            nb = twoview.normalize_points(jnp.asarray(pb, jnp.float32),
+                                          config.camera)
+            out.append((i, j, np.asarray(na), np.asarray(nb), np.asarray(ok)))
+    return out
+
+
+def run_vo_images(
+    frames: List[np.ndarray],
+    config: VOConfig,
+    *,
+    loop_closure_gap: Optional[int] = None,
+    metrics: Optional[list] = None,
+) -> np.ndarray:
+    """Full pipeline: images -> trajectory (F, 4, 4); with
+    ``loop_closure_gap`` set, distant frame pairs are matched and added as
+    pose-graph constraints."""
+    loops = (
+        propose_loop_closures(frames, config, gap=loop_closure_gap)
+        if loop_closure_gap
+        else None
+    )
+    return run_vo_matches(
+        frontend_matches(frames, config), config, loop_pairs=loops,
+        metrics=metrics,
+    )
 
 
 def evaluate_ate(

@@ -103,3 +103,55 @@ def test_vo_images_smoke(reference_image):
     est = slam.run_vo_images(frames, cfg)
     assert est.shape == (3, 4, 4)
     assert np.isfinite(est).all()
+
+
+def test_vo_loop_closure_reduces_drift(rng):
+    """Circular trajectory returning near the start: odometry noise drifts;
+    a loop-closure edge between last and first frames pulls it back."""
+    n = 12
+    poses = [np.eye(4)]
+    for k in range(n - 1):
+        xi = np.array([0.0, 0.0, 0.8, 0.0, 2 * np.pi / (n - 1), 0.0])
+        poses.append(poses[-1] @ np.asarray(lie.se3_exp(jnp.asarray(xi))))
+    gt = np.stack(poses)
+
+    pair_data = synth_pair_data(rng, gt, n_pts=6000, noise=1.5e-3)
+
+    # loop closure between frames 0 and n-1 (physically close, revisited
+    # view): exact correspondences from the shared landmark cloud
+    lm = None  # regenerate with same landmarks for the loop pair
+    rng2 = np.random.default_rng(0x5EED)
+    full = synth_pair_data(rng2, gt[[0, n - 1]], n_pts=6000, noise=0.0)
+    # scale link needs shared coordinates with pair 0's frame-0 obs, so
+    # rebuild pair 0 and the loop pair from one projection set:
+    rng3 = np.random.default_rng(0x5EED)
+    prj = synth_pair_data(rng3, gt, n_pts=6000, noise=0.0)
+    pa0 = prj[0][0]
+    # loop pair: frame 0 vs frame n-1 using the same frame-0 coordinates
+    rng4 = np.random.default_rng(0x5EED)
+    lm_pts = np.stack([
+        rng4.uniform(-6, 10, 6000), rng4.uniform(-4, 4, 6000),
+        rng4.uniform(-2, 22, 6000)
+    ], axis=-1)
+    def proj(T):
+        Xc = (np.linalg.inv(T) @ np.concatenate(
+            [lm_pts, np.ones((6000, 1))], axis=1).T).T[:, :3]
+        vis = Xc[:, 2] > 0.5
+        p = Xc[:, :2] / np.maximum(Xc[:, 2:3], 1e-9)
+        vis &= (np.abs(p[:, 0]) < 0.7) & (np.abs(p[:, 1]) < 0.55)
+        return p, vis
+    p0, v0 = proj(gt[0])
+    pN, vN = proj(gt[n - 1])
+    loop = [(0, n - 1, p0, pN, v0 & vN)]
+
+    # use clean pair 0 so loop-scale linking has exact shared coords
+    pair_data[0] = prj[0]
+
+    est_no = slam.run_vo_matches(list(pair_data), slam.VOConfig())
+    mets = []
+    est_lc = slam.run_vo_matches(list(pair_data), slam.VOConfig(),
+                                 loop_pairs=loop, metrics=mets)
+    ate_no = slam.evaluate_ate(est_no, gt)
+    ate_lc = slam.evaluate_ate(est_lc, gt)
+    assert any(m.get("loop_closure") for m in mets), mets
+    assert ate_lc < ate_no, (ate_no, ate_lc)
