@@ -43,7 +43,8 @@ BASELINES = {
     "sum_absolute": 1000.0 / 7.2343,  # README.md:65
 }
 
-BATCH = 16
+BATCH = 16        # e2e loop (host transfer bound through the relay)
+CHIP_BATCH = 64   # chip-sustained loop (amortizes dispatch)
 ROUNDS = 10
 # Word-compaction caps (32-pixel words with >= 1 keypoint, per frame).
 # api.detect_* retries on overflow; here the warmup round asserts headroom.
@@ -75,10 +76,11 @@ def bench_config(batch_np, config, cap) -> tuple:
 
     from feature_detector_fast_tpu.api import (
         _detect_compact_batch_packed,
+        effective_width,
         unpack_batch_packed,
     )
 
-    width = batch_np.shape[-1]
+    width = effective_width(batch_np.shape[-1])
     args = (int(config.threshold), int(config.count), config.nonmax, cap)
 
     # Warmup: compile + one full round including transfers + host decode.
@@ -104,7 +106,8 @@ def bench_config(batch_np, config, cap) -> tuple:
     # b.iter()): input resident, full detect + score + nonmax + compaction
     # produced per round; a final reduce+fetch forces completion of every
     # round (plain block_until_ready is unreliable through this relay).
-    dev_batch = jax.device_put(batch_np)
+    chip_np = np.broadcast_to(batch_np[0], (CHIP_BATCH,) + batch_np.shape[1:])
+    dev_batch = jax.device_put(np.ascontiguousarray(chip_np))
     addall = jax.jit(lambda xs: jnp.stack(xs).sum())
     int(addall([_detect_compact_batch_packed(dev_batch, *args) for _ in range(2)]))
     t0 = time.perf_counter()
@@ -113,7 +116,7 @@ def bench_config(batch_np, config, cap) -> tuple:
     ]))
     dt_dev = time.perf_counter() - t0
 
-    return dt / (ROUNDS * BATCH), n_kp, dt_dev / (ROUNDS * BATCH)
+    return dt / (ROUNDS * BATCH), n_kp, dt_dev / (ROUNDS * CHIP_BATCH)
 
 
 def main() -> int:

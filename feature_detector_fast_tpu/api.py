@@ -33,12 +33,28 @@ ImageLike = Union[np.ndarray, jax.Array]
 _DEFAULT_WORD_CAP = 1 << 14
 
 
+def _use_pallas() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def effective_width(w: int) -> int:
+    """Width in which compacted flat indices are encoded: the Pallas path
+    compacts directly on its lane-padded grid (padding cells are zero by
+    construction), skipping two full-image crop passes; the XLA path uses
+    the true width."""
+    if _use_pallas():
+        from .ops import fast_pallas
+
+        return fast_pallas.padded_width(w)
+    return int(w)
+
+
 def _detect_dense_best(image, threshold: int, count: int, nonmax: NonmaxMode):
     """Backend dispatch: the fused Pallas kernel on TPU, the XLA dense
     pipeline elsewhere.  The reference gates its SIMD backend at compile
     time with no runtime fallback (lib.rs:12-13); here the fallback is
     always available and the choice is made at trace time."""
-    if jax.default_backend() == "tpu":
+    if _use_pallas():
         from .ops import fast_pallas
 
         return fast_pallas.detect_dense_pallas.__wrapped__(
@@ -51,8 +67,16 @@ def _detect_dense_best(image, threshold: int, count: int, nonmax: NonmaxMode):
 def _detect_compact(image, threshold: int, count: int, nonmax: NonmaxMode,
                     max_words: int):
     """Fused detect + hierarchical compaction.  Returns
-    (word_idx, word_bits, n_points, n_words); see ops.compact."""
-    mask, _ = _detect_dense_best(image, threshold, count, nonmax)
+    (word_idx, word_bits, n_points, n_words); see ops.compact.  Indices
+    encode flat positions over `effective_width(w)` columns."""
+    if _use_pallas():
+        from .ops import fast_pallas
+
+        mask, _ = fast_pallas.detect_dense_padded(
+            image, threshold, count, nonmax, False
+        )
+    else:
+        mask, _ = fast.detect_dense(image, threshold, count, nonmax)
     return compact.compact_mask_words(mask, max_words)
 
 
@@ -82,6 +106,7 @@ def detect_arrays(
     h, w = img.shape
     cap = int(max_words or _DEFAULT_WORD_CAP)
     max_cap = -(-h * w // compact.WORD_BITS)
+    w_eff = effective_width(w)
     while True:
         widx, wbits, n, n_words = _detect_compact(
             img, int(config.threshold), int(config.count), config.nonmax, cap
@@ -89,7 +114,7 @@ def detect_arrays(
         n_words = int(n_words)
         if n_words <= cap:
             return compact.expand_words_host(
-                np.asarray(widx), np.asarray(wbits), int(n), w
+                np.asarray(widx), np.asarray(wbits), int(n), w_eff
             )
         cap = min(max(cap * 4, n_words), max_cap)
 
@@ -166,6 +191,7 @@ def detect_batch_arrays(
     b, h, w = imgs.shape
     cap = int(max_words or _DEFAULT_WORD_CAP)
     max_cap = -(-h * w // compact.WORD_BITS)
+    w_eff = effective_width(w)
     while True:
         widx, wbits, n, n_words = _detect_compact_batch(
             imgs, int(config.threshold), int(config.count), config.nonmax, cap
@@ -174,7 +200,7 @@ def detect_batch_arrays(
         if n_words_np.max(initial=0) <= cap:
             widx, wbits, n_np = np.asarray(widx), np.asarray(wbits), np.asarray(n)
             return [
-                compact.expand_words_host(widx[i], wbits[i], int(n_np[i]), w)
+                compact.expand_words_host(widx[i], wbits[i], int(n_np[i]), w_eff)
                 for i in range(b)
             ]
         cap = min(max(cap * 4, int(n_words_np.max())), max_cap)

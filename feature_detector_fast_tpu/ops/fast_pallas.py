@@ -123,10 +123,18 @@ def _kernel_body(window, center, mask_out, score_out, *, i, rows, row0,
     wp = window.shape[1]
     taps = [_shifted(window, dx, dy, rows, row0) for (dx, dy) in CIRCLE]
 
-    bright = [p - center > t for p in taps]
-    dark = [center - p > t for p in taps]
-    is_b = windows.ring_any_window_all(bright, count, jnp.logical_and, jnp.logical_or)
-    is_d = windows.ring_any_window_all(dark, count, jnp.logical_and, jnp.logical_or)
+    # Both polarities ride one bit-plane (bright = bit 0, dark = bit 1):
+    # the n-consecutive chain is bitwise AND/OR, so a single chain tests
+    # both arcs at once — half the reduction work of two boolean chains.
+    pol = [
+        (p - center > t).astype(jnp.int32)
+        + ((center - p > t).astype(jnp.int32) << 1)
+        for p in taps
+    ]
+    folded = windows.ring_any_window_all(
+        pol, count, lambda a, b: a & b, lambda a, b: a | b
+    )
+    arc_hit = folded != 0
 
     # Interior mask: global x in [3, W-4], y in [3, H-4].
     gy = (i * TILE_H - 1) + jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 0)
@@ -135,7 +143,7 @@ def _kernel_body(window, center, mask_out, score_out, *, i, rows, row0,
         (gy >= RADIUS) & (gy < height - RADIUS)
         & (gx >= RADIUS) & (gx < width - RADIUS)
     )
-    kp = (is_b | is_d) & interior
+    kp = arc_hit & interior
 
     if mode is NonmaxMode.OFF:
         mask_out[:, :] = jax.lax.slice_in_dim(kp, 1, 1 + TILE_H, axis=0).astype(
@@ -184,13 +192,25 @@ def _pad_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
-def detect_dense_pallas(
+def padded_width(w: int) -> int:
+    """Lane-padded width the padded-output entry point uses."""
+    return _pad_to(int(w), LANES)
+
+
+def padded_height(h: int) -> int:
+    return _pad_to(int(h), TILE_H)
+
+
+def detect_dense_padded(
     image: jax.Array, threshold: int, count: int, nonmax: NonmaxMode,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Fused Pallas detection: returns (mask bool (H, W), score u16 (H, W)),
-    bit-identical to `ops.fast.detect_dense`."""
+    """Fused Pallas detection WITHOUT output cropping: returns
+    (mask u16 (Hp, Wp), score u16 (Hp, Wp)) on the tile-padded grid —
+    padding cells are guaranteed zero (interior-masked in-kernel), so
+    consumers (compaction, reductions) can run directly on the padded
+    layout and skip two full-image crop/cast passes.  Coordinates encode
+    as flat indices over ``padded_width(w)``."""
     nonmax = NonmaxMode(nonmax)
     h, w = image.shape
     hp, wp = _pad_to(h, TILE_H), _pad_to(w, LANES)
@@ -226,7 +246,19 @@ def detect_dense_pallas(
         interpret=bool(interpret),
     )(img, img, img)
 
-    mask = outs[0][:h, :w].astype(bool)
     if nonmax is NonmaxMode.OFF:
-        return mask, jnp.zeros((h, w), jnp.uint16)
-    return mask, outs[1][:h, :w]
+        return outs[0], jnp.zeros((hp, wp), jnp.uint16)
+    return outs[0], outs[1]
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def detect_dense_pallas(
+    image: jax.Array, threshold: int, count: int, nonmax: NonmaxMode,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused Pallas detection: returns (mask bool (H, W), score u16 (H, W)),
+    bit-identical to `ops.fast.detect_dense`."""
+    h, w = image.shape
+    mask, score = detect_dense_padded(image, threshold, count, nonmax,
+                                      interpret)
+    return mask[:h, :w].astype(bool), score[:h, :w]
