@@ -55,3 +55,23 @@ def test_packed_batch_roundtrip(rng):
     for i in range(3):
         want = detect_arrays(imgs[i], Config(16, 9, NonmaxMode.MAX_THRESHOLD))
         np.testing.assert_array_equal(kps[i], want)
+
+
+def test_padded_grid_compaction_matches_true_grid(rng):
+    """The TPU path compacts on the kernel's lane-padded grid and decodes
+    with effective (padded) width; validate that math on CPU via the
+    interpret-mode padded kernel."""
+    from feature_detector_fast_tpu.config import NonmaxMode
+    from feature_detector_fast_tpu.ops import fast_pallas
+
+    img = rng.integers(0, 256, (40, 200), np.uint8)  # W pads 200 -> 256
+    mask_p, _ = fast_pallas.detect_dense_padded(
+        img, 16, 9, NonmaxMode.MAX_THRESHOLD, True)
+    wp = fast_pallas.padded_width(200)
+    assert mask_p.shape[1] == wp
+    widx, wbits, n, n_words = compact.compact_mask_words(mask_p, 256)
+    got = compact.expand_words_host(np.asarray(widx), np.asarray(wbits),
+                                    int(n), wp)
+    from feature_detector_fast_tpu import Config, detect_arrays
+    want = detect_arrays(img, Config(16, 9, NonmaxMode.MAX_THRESHOLD))
+    np.testing.assert_array_equal(got, want)
