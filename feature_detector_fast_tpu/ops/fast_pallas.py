@@ -12,9 +12,9 @@ pipeline in `ops.fast` (same semantics, different scheduling):
   * the arc test, scores, and 3x3 nonmax are computed in the same kernel
     invocation while the tile is hot in VMEM.
 
-Tiling scheme: grid over 32-row tiles of the (padded) image.  A tile's
-nonmax needs scores of rows +-1 and scores need taps of rows +-3, so each
-program views a 40-row window: the same input is passed three times with
+Tiling scheme: grid over TILE_H-row tiles of the (padded) image.  A
+tile's nonmax needs scores of rows +-1 and scores need taps of rows +-3,
+so each program views a (TILE_H + 8)-row window: the same input is passed three times with
 block index maps (i-1, i, i+1) (edge-clamped; clamped rows only feed
 border pixels that are masked off), giving Pallas' pipeline automatic
 double-buffering of the halo — no manual DMA.  Columns handle their +-3
@@ -72,7 +72,7 @@ def _kernel(img_prev, img_cur, img_next, mask_out, score_out=None, *, mode: Nonm
             threshold: int, count: int, height: int, width: int):
     i = pl.program_id(0)
 
-    # 40-row window around this tile, int32.
+    # (TILE_H + 8)-row window around this tile, int32.
     window = jnp.concatenate(
         [
             img_prev[TILE_H - _HALO :, :],
