@@ -213,13 +213,14 @@ def run_vo_matches(
                 "inliers": int(inl.sum()), "scale": s_loop,
             })
 
+    poses_j = jnp.asarray(poses)  # float32 unless x64 is enabled
     g = posegraph.PoseGraph(
-        poses=jnp.asarray(poses),
+        poses=poses_j,
         edge_i=jnp.asarray(edge_i, jnp.int32),
         edge_j=jnp.asarray(edge_j, jnp.int32),
-        edge_T=jnp.asarray(np.stack(edge_T)),
+        edge_T=jnp.asarray(np.stack(edge_T), poses_j.dtype),
         edge_valid=jnp.ones(len(edge_i), bool),
-        edge_weight=jnp.asarray(edge_w, poses.dtype),
+        edge_weight=jnp.asarray(edge_w, poses_j.dtype),
     )
     opt_poses, _ = posegraph.optimize(g, config.pose_graph_iters, "dense")
     return np.asarray(opt_poses)

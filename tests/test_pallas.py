@@ -53,3 +53,24 @@ def test_pallas_reference_image(reference_image):
 def test_pallas_flat_image():
     img = np.full((64, 128), 128, np.uint8)
     assert_same(img, 16, 9, NonmaxMode.SUM_ABSOLUTE)
+
+
+@pytest.mark.parametrize("pattern", ["white", "black", "checker", "gradient"])
+def test_pallas_pathological_images(pattern):
+    """Degenerate inputs: uniform fields have no keypoints; checkerboards
+    and gradients must still bit-match the XLA path."""
+    h, w = 64, 128
+    if pattern == "white":
+        img = np.full((h, w), 255, np.uint8)
+    elif pattern == "black":
+        img = np.zeros((h, w), np.uint8)
+    elif pattern == "checker":
+        yy, xx = np.mgrid[:h, :w]
+        img = (((yy // 4 + xx // 4) % 2) * 255).astype(np.uint8)
+    else:
+        img = np.tile(np.arange(w, dtype=np.uint8)[None, :] * 2, (h, 1))
+    assert_same(img, 16, 9, NonmaxMode.MAX_THRESHOLD)
+    assert_same(img, 16, 9, NonmaxMode.OFF)
+    if pattern in ("white", "black"):
+        m, _ = fast.detect_dense_jit(img, 16, 9, NonmaxMode.OFF)
+        assert int(np.asarray(m).sum()) == 0
