@@ -14,7 +14,7 @@ which is exactly what we avoid).
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 #: (dx, dy) offsets of the 16 circle points, clockwise from twelve o'clock.
 CIRCLE: Tuple[Tuple[int, int], ...] = (

@@ -12,8 +12,6 @@ T(p) = R p + t.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -14,7 +14,6 @@ from typing import List, NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..config import NonmaxMode
 from . import brief
 
 

@@ -30,7 +30,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.metrics import ate_rmse
-from . import ba as ba_lib
 from . import brief, lie, match, posegraph, twoview
 
 

@@ -16,7 +16,7 @@ static-shape discipline.
 from __future__ import annotations
 
 import functools
-from typing import List, NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +25,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..parallel import mesh as meshlib
 from . import ba as ba_lib
-from . import lie
 
 
 class WindowBatch(NamedTuple):

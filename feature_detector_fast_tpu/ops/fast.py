@@ -46,7 +46,7 @@ from typing import List, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..config import Config, NonmaxMode
+from ..config import NonmaxMode
 from ..geometry import CIRCLE, RADIUS
 from . import windows
 

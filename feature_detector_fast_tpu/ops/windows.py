@@ -28,7 +28,7 @@ combine.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Sequence, TypeVar
+from typing import Dict, List, Sequence, TypeVar
 
 T = TypeVar("T")
 

@@ -24,10 +24,9 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax.experimental.shard_map import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models import ba as ba_lib
-from ..models import lie
 from . import mesh as meshlib
 
 

@@ -12,10 +12,9 @@ import functools
 from typing import Tuple
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..config import Config, NonmaxMode
+from ..config import NonmaxMode
 from ..ops import fast
 from . import mesh as meshlib
 

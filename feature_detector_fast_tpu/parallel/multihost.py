@@ -18,7 +18,7 @@ process group.  What the framework owns is:
 from __future__ import annotations
 
 import time
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Dict, Optional
 
 import numpy as np
 

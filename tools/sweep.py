@@ -30,7 +30,7 @@ def main() -> int:
     _cache.enable()
 
     from bench import build_1080p_frame
-    from feature_detector_fast_tpu import Config, NonmaxMode
+    from feature_detector_fast_tpu import NonmaxMode
     from feature_detector_fast_tpu.api import _detect_compact
     from feature_detector_fast_tpu.utils.image import load_luma8
 
