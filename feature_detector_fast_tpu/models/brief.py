@@ -145,3 +145,16 @@ def detect_and_describe(
     kps = select_topk(mask, score, k)
     desc, dvalid = describe.__wrapped__(image, kps)
     return kps, desc, dvalid
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def detect_and_describe_batch(
+    images: jax.Array, threshold: int, count: int, k: int
+) -> Tuple[Keypoints, jax.Array, jax.Array]:
+    """Batched front-end: one fused dispatch for a whole (B, H, W) frame
+    stack — the serving path (per-frame dispatches pay a host round trip
+    each on remote-attached TPUs).  Returns batch-leading Keypoints /
+    descriptors."""
+    return jax.vmap(
+        lambda im: detect_and_describe(im, threshold, count, k)
+    )(images)

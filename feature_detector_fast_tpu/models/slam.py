@@ -128,6 +128,7 @@ def run_vo_matches(
     config: VOConfig,
     loop_pairs: Optional[List[Tuple[int, int, np.ndarray, np.ndarray, np.ndarray]]] = None,
     metrics: Optional[list] = None,
+    ba_refine: bool = False,
 ) -> np.ndarray:
     """Geometric VO from per-pair normalized correspondences.
 
@@ -222,32 +223,39 @@ def run_vo_matches(
         edge_weight=jnp.asarray(edge_w, poses_j.dtype),
     )
     opt_poses, _ = posegraph.optimize(g, config.pose_graph_iters, "dense")
-    return np.asarray(opt_poses)
+    result = np.asarray(opt_poses)
+    if ba_refine:
+        result = refine_with_ba(result, pairs)
+    return result
 
 
 def frontend_matches(
     frames: List[np.ndarray], config: VOConfig
 ) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Run the TPU front-end over a frame list; returns per-consecutive-
-    pair (pa, pb, valid) in normalized camera coordinates."""
-    feats = []
-    for f in frames:
-        kps, desc, dv = brief.detect_and_describe(
-            jnp.asarray(f), config.threshold, config.count, config.max_keypoints
-        )
-        feats.append((kps, desc, dv))
-    out = []
-    for k in range(len(frames) - 1):
-        kps_a, da, va = feats[k]
-        kps_b, db, vb = feats[k + 1]
-        m = match.match(da, va, db, vb)
-        pa, pb, ok = match.match_points(kps_a.xy, kps_b.xy, m)
-        na = twoview.normalize_points(
-            jnp.asarray(pa, jnp.float32), config.camera)
-        nb = twoview.normalize_points(
-            jnp.asarray(pb, jnp.float32), config.camera)
-        out.append((np.asarray(na), np.asarray(nb), np.asarray(ok)))
-    return out
+    pair (pa, pb, valid) in normalized camera coordinates.
+
+    Batched: ONE dispatch detects+describes every frame, one vmapped
+    dispatch matches all consecutive pairs — per-frame dispatches each pay
+    a host round trip on remote-attached TPUs."""
+    stack = jnp.asarray(np.stack(frames))
+    kps, desc, dvalid = brief.detect_and_describe_batch(
+        stack, config.threshold, config.count, config.max_keypoints
+    )
+
+    def pair_match(kxy_a, da, va, kxy_b, db, vb):
+        m = match.match.__wrapped__(da, va, db, vb)
+        pa, pb, ok = match.match_points(kxy_a, kxy_b, m)
+        na = twoview.normalize_points(pa.astype(jnp.float32), config.camera)
+        nb = twoview.normalize_points(pb.astype(jnp.float32), config.camera)
+        return na, nb, ok
+
+    na, nb, ok = jax.jit(jax.vmap(pair_match))(
+        kps.xy[:-1], desc[:-1], dvalid[:-1],
+        kps.xy[1:], desc[1:], dvalid[1:],
+    )
+    na, nb, ok = np.asarray(na), np.asarray(nb), np.asarray(ok)
+    return [(na[k], nb[k], ok[k]) for k in range(len(frames) - 1)]
 
 
 def propose_loop_closures(
@@ -301,6 +309,123 @@ def run_vo_images(
         frontend_matches(frames, config), config, loop_pairs=loops,
         metrics=metrics,
     )
+
+
+def build_tracks(
+    pairs: List[PairEstimate], min_len: int = 3
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Link pair-wise inlier correspondences into multi-frame tracks.
+
+    Correspondences are joined through shared frames by (rounded)
+    normalized coordinates — the same keying used for scale chaining.
+    Returns flat observation arrays (obs_cam, obs_lm, obs_uv) for tracks
+    observed in at least ``min_len`` frames.
+    """
+    track_of = {}  # (frame, rounded uv) -> track id
+    obs = []  # (track, frame, uv)
+    n_tracks = 0
+    for k, pair in enumerate(pairs):
+        for pa, pb in zip(pair.inlier_pa, pair.inlier_pb):
+            ka = (k, tuple(np.round(pa, 5)))
+            kb = (k + 1, tuple(np.round(pb, 5)))
+            t = track_of.get(ka)
+            if t is None:
+                t = n_tracks
+                n_tracks += 1
+                track_of[ka] = t
+                obs.append((t, k, pa))
+            track_of[kb] = t
+            obs.append((t, k + 1, pb))
+
+    counts = np.zeros(n_tracks, np.int64)
+    frames_seen = {}
+    kept_obs = []
+    for t, f, uv in obs:
+        if (t, f) in frames_seen:
+            continue
+        frames_seen[(t, f)] = True
+        kept_obs.append((t, f, uv))
+        counts[t] += 1
+    keep = counts >= min_len
+    remap = -np.ones(n_tracks, np.int64)
+    remap[keep] = np.arange(keep.sum())
+    oc, ol, uv = [], [], []
+    for t, f, p in kept_obs:
+        if keep[t]:
+            oc.append(f)
+            ol.append(remap[t])
+            uv.append(p)
+    return (np.asarray(oc, np.int32), np.asarray(ol, np.int32),
+            np.asarray(uv, np.float64).reshape(-1, 2))
+
+
+def refine_with_ba(
+    poses: np.ndarray,
+    pairs: List[PairEstimate],
+    iterations: int = 8,
+    cg_iters: int = 30,
+) -> np.ndarray:
+    """Structure-from-motion refinement of a VO trajectory: build tracks,
+    triangulate landmarks from the current poses, run Schur-complement BA
+    (first two cameras gauge-fixed), return refined world_T_cam poses."""
+    from . import ba as ba_lib
+
+    obs_cam, obs_lm, obs_uv = build_tracks(pairs)
+    if obs_lm.size == 0:
+        return poses
+    n_lm = int(obs_lm.max()) + 1
+    # world->camera extrinsics for BA
+    w2c = np.linalg.inv(poses)
+
+    # Triangulate each landmark from its WIDEST-baseline observation pair
+    # (first/last frame): adjacent-frame baselines give noisy depths that
+    # start BA in a terrible basin.
+    first = np.full(n_lm, -1, np.int64)
+    last = np.zeros(n_lm, np.int64)
+    for o in range(len(obs_lm)):
+        l = int(obs_lm[o])
+        if first[l] < 0:
+            first[l] = o
+        last[l] = o
+    a, b = first, last
+    Ta = w2c[obs_cam[a]]
+    Tb = w2c[obs_cam[b]]
+    Xs = np.stack([
+        np.asarray(twoview.triangulate(
+            jnp.asarray(Ta[i, :3, :3]), jnp.asarray(Ta[i, :3, 3]),
+            jnp.asarray(Tb[i, :3, :3]), jnp.asarray(Tb[i, :3, 3]),
+            jnp.asarray(obs_uv[a[i]][None]), jnp.asarray(obs_uv[b[i]][None]))
+        )[0]
+        for i in range(n_lm)
+    ])
+    pts = Xs
+
+    # Cull tracks with non-positive depth or large initial reprojection
+    # error in ANY observing camera — bad inits poison Gauss-Newton.
+    Xc = np.einsum("oij,oj->oi", w2c[obs_cam][:, :3, :3], pts[obs_lm]) \
+        + w2c[obs_cam][:, :3, 3]
+    depth_ok = Xc[:, 2] > 1e-3
+    proj = Xc[:, :2] / np.maximum(Xc[:, 2:3], 1e-9)
+    err = np.linalg.norm(proj - obs_uv, axis=1)
+    obs_ok = depth_ok & (err < 0.02)
+    track_ok = np.ones(n_lm, bool)
+    np.minimum.at(track_ok, obs_lm, obs_ok)
+    valid = track_ok[obs_lm]
+
+    problem = ba_lib.BAProblem(
+        poses=jnp.asarray(w2c),
+        points=jnp.asarray(pts),
+        obs_cam=jnp.asarray(obs_cam),
+        obs_lm=jnp.asarray(obs_lm),
+        obs_uv=jnp.asarray(obs_uv),
+        obs_valid=jnp.asarray(valid),
+        # Only camera 0 is hard-fixed: pinning a second (noisy) camera
+        # would anchor BA to its error.  The remaining scale gauge is a
+        # damped null direction (monocular ATE is scale-aligned anyway).
+        n_fixed_cams=1,
+    )
+    new_w2c, _, costs = ba_lib.optimize(problem, iterations, cg_iters, 1e-4)
+    return np.linalg.inv(np.asarray(new_w2c))
 
 
 def evaluate_ate(

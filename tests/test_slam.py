@@ -155,3 +155,17 @@ def test_vo_loop_closure_reduces_drift(rng):
     ate_lc = slam.evaluate_ate(est_lc, gt)
     assert any(m.get("loop_closure") for m in mets), mets
     assert ate_lc < ate_no, (ate_no, ate_lc)
+
+
+def test_vo_ba_refinement(rng):
+    """BA refinement over tracks built from pair inliers must reduce ATE
+    on a noisy trajectory (structure-from-motion polish)."""
+    gt = make_trajectory(7)
+    pair_data = synth_pair_data(rng, gt, n_pts=3000, noise=8e-4)
+    est = slam.run_vo_matches(list(pair_data), slam.VOConfig())
+    est_ba = slam.run_vo_matches(list(pair_data), slam.VOConfig(),
+                                 ba_refine=True)
+    ate = slam.evaluate_ate(est, gt)
+    ate_ba = slam.evaluate_ate(est_ba, gt)
+    assert np.isfinite(est_ba).all()
+    assert ate_ba < ate * 0.6, (ate, ate_ba)  # BA must materially improve
