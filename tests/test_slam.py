@@ -117,17 +117,11 @@ def test_vo_loop_closure_reduces_drift(rng):
 
     pair_data = synth_pair_data(rng, gt, n_pts=6000, noise=1.5e-3)
 
-    # loop closure between frames 0 and n-1 (physically close, revisited
-    # view): exact correspondences from the shared landmark cloud
-    lm = None  # regenerate with same landmarks for the loop pair
-    rng2 = np.random.default_rng(0x5EED)
-    full = synth_pair_data(rng2, gt[[0, n - 1]], n_pts=6000, noise=0.0)
-    # scale link needs shared coordinates with pair 0's frame-0 obs, so
-    # rebuild pair 0 and the loop pair from one projection set:
+    # Loop closure between frames 0 and n-1 (revisited view).  The scale
+    # link needs shared coordinates with pair 0's frame-0 observations, so
+    # pair 0 and the loop pair are rebuilt from one clean projection set.
     rng3 = np.random.default_rng(0x5EED)
     prj = synth_pair_data(rng3, gt, n_pts=6000, noise=0.0)
-    pa0 = prj[0][0]
-    # loop pair: frame 0 vs frame n-1 using the same frame-0 coordinates
     rng4 = np.random.default_rng(0x5EED)
     lm_pts = np.stack([
         rng4.uniform(-6, 10, 6000), rng4.uniform(-4, 4, 6000),
