@@ -37,6 +37,18 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _max_word_cap(h: int, w: int) -> int:
+    """Upper bound on nonzero 32-pixel words.  The Pallas path packs the
+    lane-padded grid, where words align per padded row — up to one extra
+    word per row vs flat true-grid packing — so the bound must use the
+    padded dimensions or pathological images could retry forever."""
+    if _use_pallas():
+        from .ops import fast_pallas
+
+        h, w = fast_pallas.padded_height(h), fast_pallas.padded_width(w)
+    return -(-h * w // compact.WORD_BITS)
+
+
 def effective_width(w: int) -> int:
     """Width in which compacted flat indices are encoded: the Pallas path
     compacts directly on its lane-padded grid (padding cells are zero by
@@ -105,7 +117,7 @@ def detect_arrays(
     img = _as_device_image(image, 2)
     h, w = img.shape
     cap = int(max_words or _DEFAULT_WORD_CAP)
-    max_cap = -(-h * w // compact.WORD_BITS)
+    max_cap = _max_word_cap(h, w)
     w_eff = effective_width(w)
     while True:
         widx, wbits, n, n_words = _detect_compact(
@@ -190,7 +202,7 @@ def detect_batch_arrays(
     imgs = _as_device_image(images, 3)
     b, h, w = imgs.shape
     cap = int(max_words or _DEFAULT_WORD_CAP)
-    max_cap = -(-h * w // compact.WORD_BITS)
+    max_cap = _max_word_cap(h, w)
     w_eff = effective_width(w)
     while True:
         widx, wbits, n, n_words = _detect_compact_batch(

@@ -80,15 +80,20 @@ class Keypoints(NamedTuple):
 def select_topk(mask: jax.Array, score: jax.Array, k: int) -> Keypoints:
     """Deterministic top-K keypoints by (score, then row-major position).
 
-    Scores are clipped to 1023 for the selection key so (score, index)
-    packs into int32 — ties then break toward smaller row-major index,
-    which keeps selection deterministic across backends.
+    The selection key packs (clipped score, reversed index) into int31 —
+    ties break toward smaller row-major index, keeping selection
+    deterministic across backends.  The index field is sized to the
+    image, and the score clip uses whatever bits remain (1023 at 1080p).
     """
     h, w = mask.shape
+    idx_bits = max(1, (h * w - 1).bit_length())
+    if idx_bits > 29:
+        raise ValueError(f"image too large for top-k key packing: {h}x{w}")
+    max_score = (1 << (31 - idx_bits)) - 1
     flat_mask = mask.reshape(-1)
-    flat_score = jnp.minimum(score.reshape(-1).astype(jnp.int32), 1023)
+    flat_score = jnp.minimum(score.reshape(-1).astype(jnp.int32), max_score)
     idx = jnp.arange(h * w, dtype=jnp.int32)
-    key = jnp.where(flat_mask, (flat_score << 21) | (h * w - 1 - idx), -1)
+    key = jnp.where(flat_mask, (flat_score << idx_bits) | (h * w - 1 - idx), -1)
     topv, topi = jax.lax.top_k(key, k)
     valid = topv >= 0
     sel = jnp.where(valid, topi, 0)

@@ -390,15 +390,16 @@ def refine_with_ba(
     a, b = first, last
     Ta = w2c[obs_cam[a]]
     Tb = w2c[obs_cam[b]]
-    Xs = np.stack([
-        np.asarray(twoview.triangulate(
-            jnp.asarray(Ta[i, :3, :3]), jnp.asarray(Ta[i, :3, 3]),
-            jnp.asarray(Tb[i, :3, :3]), jnp.asarray(Tb[i, :3, 3]),
-            jnp.asarray(obs_uv[a[i]][None]), jnp.asarray(obs_uv[b[i]][None]))
+    tri = jax.vmap(
+        lambda Ra, ta, Rb, tb, ua, ub: twoview.triangulate(
+            Ra, ta, Rb, tb, ua[None], ub[None]
         )[0]
-        for i in range(n_lm)
-    ])
-    pts = Xs
+    )
+    pts = np.asarray(tri(
+        jnp.asarray(Ta[:, :3, :3]), jnp.asarray(Ta[:, :3, 3]),
+        jnp.asarray(Tb[:, :3, :3]), jnp.asarray(Tb[:, :3, 3]),
+        jnp.asarray(obs_uv[a]), jnp.asarray(obs_uv[b]),
+    ))
 
     # Cull tracks with non-positive depth or large initial reprojection
     # error in ANY observing camera — bad inits poison Gauss-Newton.
