@@ -50,3 +50,18 @@ def test_native_score_probes_match_naive(rng):
     for x in range(3, 29):
         for y in range(3, 23):
             assert native.is_keypoint(img, (x, y), 16, 9) == ((x, y) in kp_naive)
+
+
+def test_native_matches_api_full_1080p():
+    """Large-scale differential: the full API pipeline vs the native C++
+    oracle on a tiled 1080p frame (the benchmark image)."""
+    import sys
+    sys.path.insert(0, ".")
+    from bench import build_1080p_frame
+
+    img = build_1080p_frame()
+    for config in (Config(16, 9, NonmaxMode.OFF),
+                   Config(16, 9, NonmaxMode.MAX_THRESHOLD)):
+        got = detect_arrays(img, config)
+        want = native.detect_arrays(img, config)
+        np.testing.assert_array_equal(got, want)
