@@ -111,12 +111,16 @@ def _build_system(p: BAProblem, damping) -> _System:
 
 
 def _schur_matvec(sys: _System, p: BAProblem, v: jax.Array, damping,
-                  psum=None) -> jax.Array:
+                  psum=None, psum_lm=None) -> jax.Array:
     """Apply the reduced camera matrix S = Hcc + damp*I - W Hll^-1 W^T to
-    v (C, 6).  Two obs->segment reductions; `psum` (if given) reduces
-    partial segment sums across mesh shards — the distributed hook."""
+    v (C, 6).  Two obs->segment reductions.  `psum` reduces camera-side
+    partials across ALL shards; `psum_lm` reduces landmark-side partials
+    across the shards that replicate a landmark (== psum when landmarks
+    are replicated; data-axis-only when landmarks shard over a model
+    axis)."""
     C = p.poses.shape[0]
     L = p.points.shape[0]
+    psum_lm = psum_lm or psum
     v_o = v[p.obs_cam]  # (O, 6)
     Jc_v = jnp.einsum("oij,oj->oi", sys.Jc, v_o)  # (O, 2)
     # Hcc v (per-camera), as obs partials
@@ -125,7 +129,7 @@ def _schur_matvec(sys: _System, p: BAProblem, v: jax.Array, damping,
     wt_v = _segment_sum(jnp.einsum("oij,oi->oj", sys.Jl, Jc_v), p.obs_lm, L)
     if psum is not None:
         hcc_v = psum(hcc_v)
-        wt_v = psum(wt_v)
+        wt_v = psum_lm(wt_v)
     u = jnp.einsum("lij,lj->li", sys.Hll_inv, wt_v)  # (L, 3)
     # W u per camera: Jc^T (Jl u)
     Jl_u = jnp.einsum("oij,oj->oi", sys.Jl, u[p.obs_lm])  # (O, 2)
@@ -156,25 +160,28 @@ def _cg(matvec, b, iters: int):
     return x
 
 
-def ba_step(p: BAProblem, damping, cg_iters: int, psum=None):
+def ba_step(p: BAProblem, damping, cg_iters: int, psum=None, psum_lm=None):
     """One damped Gauss-Newton step via Schur elimination.
 
     Returns (new_poses, new_points, cost_before).  With `psum`, the
     segment reductions are treated as shard-local partials reduced across
-    the mesh (observations sharded; poses/points replicated).
+    the mesh (observations sharded; poses replicated).  `psum_lm` (defaults
+    to `psum`) reduces landmark-side partials — pass a data-axis-only
+    reduction when landmark state shards over a model axis.
     """
+    psum_lm = psum_lm or psum
     sys = _build_system(p, damping)
     b_c = sys.b_c
     b_l = sys.b_l
     if psum is not None:
         b_c = psum(b_c)
-        b_l = psum(b_l)
+        b_l = psum_lm(b_l)
         # Hll must also be globally reduced; rebuild inverse from partials.
         L = p.points.shape[0]
         Hll_partial = _segment_sum(
             jnp.einsum("oij,oik->ojk", sys.Jl, sys.Jl), p.obs_lm, L
         )
-        Hll = psum(Hll_partial) + damping * jnp.eye(3, dtype=b_l.dtype)
+        Hll = psum_lm(Hll_partial) + damping * jnp.eye(3, dtype=b_l.dtype)
         sys = sys._replace(Hll_inv=jnp.linalg.inv(Hll))
 
     # reduced rhs: -(b_c - W Hll^-1 b_l)
@@ -186,8 +193,8 @@ def ba_step(p: BAProblem, damping, cg_iters: int, psum=None):
         w_u = psum(w_u)
     rhs = -(b_c - w_u)
 
-    delta_c = _cg(lambda v: _schur_matvec(sys, p, v, damping, psum), rhs,
-                  cg_iters)
+    delta_c = _cg(lambda v: _schur_matvec(sys, p, v, damping, psum, psum_lm),
+                  rhs, cg_iters)
     # n_fixed_cams may arrive traced (it rides inside the problem pytree),
     # so gauge-fix with a mask rather than a slice.
     cam_free = jnp.arange(p.poses.shape[0]) >= p.n_fixed_cams
@@ -198,7 +205,7 @@ def ba_step(p: BAProblem, damping, cg_iters: int, psum=None):
     wt_dc = _segment_sum(jnp.einsum("oij,oi->oj", sys.Jl, Jc_dc), p.obs_lm,
                          p.points.shape[0])
     if psum is not None:
-        wt_dc = psum(wt_dc)
+        wt_dc = psum_lm(wt_dc)
     delta_l = -jnp.einsum("lij,lj->li", sys.Hll_inv, b_l + wt_dc)
 
     new_poses = lie.se3_exp(delta_c) @ p.poses

@@ -108,3 +108,61 @@ def optimize_sharded(
         step, (p.poses, p.points), None, length=iterations
     )
     return poses, points, costs
+
+
+def ba_step_sharded2d(
+    p: ba_lib.BAProblem, mesh: Mesh, damping: float = 1e-6, cg_iters: int = 30
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One Gauss-Newton/Schur step on a 2-D (data x model) mesh.
+
+    Observations shard over `data`; LANDMARK STATE (points, Hll blocks,
+    back-substitution) shards over `model` — the reduced camera system is
+    assembled with psum over both axes, while landmark-side reductions
+    psum over `data` only (each landmark lives on exactly one model
+    shard).  This is the "Schur-complement reduced camera system sharded
+    over mesh axes" layout (SURVEY.md §2.9): camera state replicates
+    (small), map state partitions (large).
+
+    Returns (new_poses replicated, new_points gathered (L, 3), cost).
+    """
+    n_data = mesh.shape[meshlib.DATA_AXIS]
+    n_model = mesh.shape[meshlib.MODEL_AXIS]
+    p = pad_observations(p, n_data)
+
+    # pad landmarks to a model-shard multiple (padded landmarks have no
+    # observations; their damped Hll is invertible and their delta is 0)
+    L = p.points.shape[0]
+    pad_l = (-L) % n_model
+    points = jnp.concatenate(
+        [p.points, jnp.zeros((pad_l, 3), p.points.dtype)]
+    ) if pad_l else p.points
+    l_shard = (L + pad_l) // n_model
+
+    obs_spec = P(meshlib.DATA_AXIS)
+    rep = P()
+
+    def local_step(poses, pts_local, oc, ol, uv, valid, nf):
+        m_idx = jax.lax.axis_index(meshlib.MODEL_AXIS)
+        off = m_idx * l_shard
+        ol_local = ol - off
+        mine = (ol_local >= 0) & (ol_local < l_shard) & valid
+        ol_safe = jnp.clip(ol_local, 0, l_shard - 1)
+        lp = ba_lib.BAProblem(poses, pts_local, oc, ol_safe, uv, mine, nf)
+        psum_all = lambda x: jax.lax.psum(
+            x, (meshlib.DATA_AXIS, meshlib.MODEL_AXIS))
+        psum_data = lambda x: jax.lax.psum(x, meshlib.DATA_AXIS)
+        return ba_lib.ba_step(lp, damping, cg_iters, psum=psum_all,
+                              psum_lm=psum_data)
+
+    fn = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(rep, P(meshlib.MODEL_AXIS), obs_spec, obs_spec, obs_spec,
+                  obs_spec, rep),
+        out_specs=(rep, P(meshlib.MODEL_AXIS), rep),
+    )
+    nf = jnp.asarray(p.n_fixed_cams, jnp.int32)
+    new_poses, new_points, cost = fn(
+        p.poses, points, p.obs_cam, p.obs_lm, p.obs_uv, p.obs_valid, nf
+    )
+    return new_poses, new_points[:L], cost
