@@ -47,6 +47,73 @@ def _make_pattern(seed: int = 0x1EAF) -> np.ndarray:
 
 PATTERN: np.ndarray = _make_pattern()
 
+#: Orientation quantization for steered (rotation-aware) BRIEF.
+N_ANGLE_BINS = 30
+
+
+def _make_rotated_patterns() -> np.ndarray:
+    """(N_ANGLE_BINS, BITS, 2, 2) int32: the base pattern rotated to each
+    quantized orientation (ORB's steered-BRIEF table)."""
+    out = np.zeros((N_ANGLE_BINS, BITS, 2, 2), np.int32)
+    for b in range(N_ANGLE_BINS):
+        a = 2.0 * np.pi * b / N_ANGLE_BINS
+        c, s = np.cos(a), np.sin(a)
+        x = PATTERN[..., 0]
+        y = PATTERN[..., 1]
+        out[b, ..., 0] = np.clip(np.round(c * x - s * y), -PATCH_R, PATCH_R)
+        out[b, ..., 1] = np.clip(np.round(s * x + c * y), -PATCH_R, PATCH_R)
+    return out
+
+
+ROTATED_PATTERNS: np.ndarray = _make_rotated_patterns()
+
+
+def orientation_bins(image: jax.Array, kps: "Keypoints") -> jax.Array:
+    """Intensity-centroid orientation per keypoint, quantized to
+    N_ANGLE_BINS (ORB's moment method, computed densely).
+
+    The patch moments m10 = sum I(x,y)(x - xc) and m01 over a
+    (2R+1)-square patch come from two dense box filters (of I*x, I*y, I),
+    sampled at the keypoints — no per-keypoint patch gathers.
+    """
+    h, w = image.shape
+    img = image.astype(jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+
+    def boxsum(x, r):
+        """(2r+1)-square box sum, zero-padded at borders (border keypoints
+        are invalid anyway): out[i] = sum x[i-r .. i+r] per axis."""
+
+        def box1d(v, axis):
+            n = v.shape[axis]
+            pad_shape = list(v.shape)
+            pad_shape[axis] = r
+            z = jnp.zeros(pad_shape, v.dtype)
+            vp = jnp.concatenate([z, v, z], axis=axis)  # n + 2r
+            c = jnp.cumsum(vp, axis=axis)
+            zero1 = jnp.zeros_like(jax.lax.slice_in_dim(c, 0, 1, axis=axis))
+            e = jnp.concatenate([zero1, c], axis=axis)  # exclusive prefix
+            hi = jax.lax.slice_in_dim(e, 2 * r + 1, 2 * r + 1 + n, axis=axis)
+            lo = jax.lax.slice_in_dim(e, 0, n, axis=axis)
+            return hi - lo
+
+        return box1d(box1d(x, 0), 1)
+
+    r = PATCH_R
+    s_i = boxsum(img, r)
+    s_ix = boxsum(img * xs, r)
+    s_iy = boxsum(img * ys, r)
+
+    kx = kps.xy[:, 0]
+    ky = kps.xy[:, 1]
+    flat = lambda m: m.reshape(-1)[jnp.clip(ky * w + kx, 0, h * w - 1)]
+    m10 = flat(s_ix) - kx.astype(jnp.float32) * flat(s_i)
+    m01 = flat(s_iy) - ky.astype(jnp.float32) * flat(s_i)
+    angle = jnp.arctan2(m01, m10)  # [-pi, pi]
+    bins = jnp.round(angle / (2.0 * jnp.pi) * N_ANGLE_BINS).astype(jnp.int32)
+    return jnp.mod(bins, N_ANGLE_BINS)
+
 
 def box_blur5(image: jax.Array) -> jax.Array:
     """5x5 box sum via separable cumulative sums (dense, fused).  Returns
@@ -135,31 +202,70 @@ def describe(image: jax.Array, kps: Keypoints) -> Tuple[jax.Array, jax.Array]:
     return desc, inb
 
 
+@functools.partial(jax.jit, static_argnums=())
+def describe_oriented(
+    image: jax.Array, kps: Keypoints
+) -> Tuple[jax.Array, jax.Array]:
+    """Steered BRIEF-256 (ORB-style): the sampling pattern is rotated to
+    each keypoint's intensity-centroid orientation (quantized to
+    N_ANGLE_BINS), making descriptors rotation-aware.  Same return
+    contract as :func:`describe`."""
+    h, w = image.shape
+    blur = box_blur5(image).reshape(-1)
+    bins = orientation_bins(image, kps)  # (K,)
+
+    pats = jnp.asarray(ROTATED_PATTERNS)  # (B, BITS, 2, 2)
+    off_flat = pats[..., 1] * w + pats[..., 0]  # (B, BITS, 2)
+    off_k = off_flat[bins]  # (K, BITS, 2)
+
+    base = kps.xy[:, 1] * w + kps.xy[:, 0]
+    inb = (
+        kps.valid
+        & (kps.xy[:, 0] >= BORDER)
+        & (kps.xy[:, 0] < w - BORDER)
+        & (kps.xy[:, 1] >= BORDER)
+        & (kps.xy[:, 1] < h - BORDER)
+    )
+    safe_base = jnp.where(inb, base, 0)
+    sample_idx = safe_base[:, None, None] + off_k
+    samples = blur[jnp.clip(sample_idx, 0, h * w - 1)]
+    bits = samples[..., 0] < samples[..., 1]
+
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    grouped = bits.reshape(-1, WORDS, 32).astype(jnp.uint32)
+    desc = (grouped << shifts[None, None, :]).sum(axis=-1, dtype=jnp.uint32)
+    return desc, inb
+
+
 def detect_and_describe(
-    image: jax.Array, threshold: int, count: int, k: int
+    image: jax.Array, threshold: int, count: int, k: int,
+    oriented: bool = False,
 ) -> Tuple[Keypoints, jax.Array, jax.Array]:
     """Front-end step: FAST (SumAbsolute scores) -> top-K -> BRIEF.
 
-    Returns (keypoints, desc (K, WORDS) uint32, desc_valid (K,) bool);
-    fully fused under jit, device-resident.
+    ``oriented=True`` uses steered BRIEF (rotation-aware) at the cost of
+    the orientation moment filters.  Returns (keypoints, desc (K, WORDS)
+    uint32, desc_valid (K,) bool); fully fused under jit, device-resident.
     """
     from ..api import _detect_dense_best
     from ..config import NonmaxMode
 
     mask, score = _detect_dense_best(image, threshold, count, NonmaxMode.SUM_ABSOLUTE)
     kps = select_topk(mask, score, k)
-    desc, dvalid = describe.__wrapped__(image, kps)
+    fn = describe_oriented if oriented else describe
+    desc, dvalid = fn.__wrapped__(image, kps)
     return kps, desc, dvalid
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def detect_and_describe_batch(
-    images: jax.Array, threshold: int, count: int, k: int
+    images: jax.Array, threshold: int, count: int, k: int,
+    oriented: bool = False,
 ) -> Tuple[Keypoints, jax.Array, jax.Array]:
     """Batched front-end: one fused dispatch for a whole (B, H, W) frame
     stack — the serving path (per-frame dispatches pay a host round trip
     each on remote-attached TPUs).  Returns batch-leading Keypoints /
     descriptors."""
     return jax.vmap(
-        lambda im: detect_and_describe(im, threshold, count, k)
+        lambda im: detect_and_describe(im, threshold, count, k, oriented)
     )(images)

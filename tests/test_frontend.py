@@ -106,3 +106,58 @@ def test_match_end_to_end_shifted_frame(reference_image):
     delta = pb[ok] - pa[ok]
     good = ((delta[:, 0] == dx) & (delta[:, 1] == dy)).mean()
     assert good > 0.9
+
+
+def test_orientation_bins_gradient():
+    """Intensity-centroid orientation points along the brightness
+    gradient: a left-to-right ramp gives angle ~0 (bin 0), top-to-bottom
+    gives ~pi/2."""
+    import jax.numpy as jnp
+    from feature_detector_fast_tpu.models.brief import (
+        Keypoints, N_ANGLE_BINS, orientation_bins)
+
+    ramp_x = np.tile(np.arange(64, dtype=np.uint8) * 4, (64, 1))
+    ramp_y = ramp_x.T.copy()
+    kp = Keypoints(jnp.asarray([[32, 32]], jnp.int32),
+                   jnp.ones(1, jnp.int32), jnp.ones(1, bool))
+    bx = int(orientation_bins(jnp.asarray(ramp_x), kp)[0])
+    by = int(orientation_bins(jnp.asarray(ramp_y), kp)[0])
+    assert bx == 0, bx
+    assert by == round(N_ANGLE_BINS / 4), by  # pi/2 -> bin 7.5 -> 8
+
+
+def test_oriented_brief_rotation_robustness(rng):
+    """Steered BRIEF matches across a 90-degree frame rotation where
+    unoriented BRIEF collapses."""
+    import jax.numpy as jnp
+
+    img = rng.integers(0, 256, (96, 96), np.uint8)
+    # smooth a bit so descriptors are stable
+    img = np.asarray(brief.box_blur5(jnp.asarray(img)) // 25).astype(np.uint8)
+    rot = np.rot90(img).copy()
+
+    k1, d1, v1 = brief.detect_and_describe(jnp.asarray(img), 12, 9, 128,
+                                           oriented=True)
+    k2, d2, v2 = brief.detect_and_describe(jnp.asarray(rot), 12, 9, 128,
+                                           oriented=True)
+    m_o = match.match(d1, v1, d2, v2)
+    n_oriented = int((np.asarray(m_o.idx_b) >= 0).sum())
+
+    k1u, d1u, v1u = brief.detect_and_describe(jnp.asarray(img), 12, 9, 128)
+    k2u, d2u, v2u = brief.detect_and_describe(jnp.asarray(rot), 12, 9, 128)
+    m_u = match.match(d1u, v1u, d2u, v2u)
+    n_unoriented = int((np.asarray(m_u.idx_b) >= 0).sum())
+
+    assert n_oriented > max(2 * n_unoriented, 20), (n_oriented, n_unoriented)
+
+    # and the matches are geometrically consistent with the rotation:
+    # (x, y) in img -> (y, W-1-x) in rot90(img) ... np.rot90 maps
+    # out[i, j] = in[j, W-1-i]  =>  in(x=c, y=r) appears at
+    # rot(x=r_new ...); verify via coordinate transform
+    pa, pb, ok = match.match_points(k1.xy, k2.xy, m_o)
+    pa, pb, ok = np.asarray(pa), np.asarray(pb), np.asarray(ok)
+    H, W = img.shape
+    # np.rot90: rot[r, c] = img[c, W-1-r]  => img(x, y) -> rot(x'=y, y'=W-1-x)
+    want = np.stack([pa[ok][:, 1], W - 1 - pa[ok][:, 0]], axis=-1)
+    good = (np.abs(pb[ok] - want) <= 1).all(axis=1).mean()
+    assert good > 0.8, good
