@@ -69,8 +69,10 @@ def test_sharded2d_matches_single_device(rng):
     p = ba.BAProblem(p.poses, p.points, p.obs_cam[:o], p.obs_lm[:o],
                      p.obs_uv[:o], p.obs_valid[:o], p.n_fixed_cams)
     mesh = meshlib.make_mesh(n_data=4, n_model=2)
-    poses1, points1, cost1 = ba.ba_step(p, 1e-6, 25)
-    poses2, points2, cost2 = ba_sharded.ba_step_sharded2d(p, mesh, 1e-6, 25)
+    # enough CG iterations that both runs reach the same converged step —
+    # an under-converged CG amplifies psum reduction-order noise
+    poses1, points1, cost1 = ba.ba_step(p, 1e-6, 80)
+    poses2, points2, cost2 = ba_sharded.ba_step_sharded2d(p, mesh, 1e-6, 80)
     np.testing.assert_allclose(np.asarray(cost2), np.asarray(cost1),
                                rtol=1e-9)
     # CG amplifies psum reduction-order noise: tolerance, not bit-exact
