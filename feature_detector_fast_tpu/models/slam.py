@@ -129,6 +129,7 @@ def run_vo_matches(
     loop_pairs: Optional[List[Tuple[int, int, np.ndarray, np.ndarray, np.ndarray]]] = None,
     metrics: Optional[list] = None,
     ba_refine: bool = False,
+    mesh=None,
 ) -> np.ndarray:
     """Geometric VO from per-pair normalized correspondences.
 
@@ -225,7 +226,7 @@ def run_vo_matches(
     opt_poses, _ = posegraph.optimize(g, config.pose_graph_iters, "dense")
     result = np.asarray(opt_poses)
     if ba_refine:
-        result = refine_with_ba(result, pairs)
+        result = refine_with_ba(result, pairs, mesh=mesh)
     return result
 
 
@@ -364,10 +365,15 @@ def refine_with_ba(
     pairs: List[PairEstimate],
     iterations: int = 8,
     cg_iters: int = 30,
+    mesh=None,
 ) -> np.ndarray:
     """Structure-from-motion refinement of a VO trajectory: build tracks,
     triangulate landmarks from the current poses, run Schur-complement BA
-    (first two cameras gauge-fixed), return refined world_T_cam poses."""
+    (camera 0 gauge-fixed), return refined world_T_cam poses.
+
+    With ``mesh``, the BA runs distributed: observations shard over the
+    `data` axis and Schur reductions become psum collectives
+    (parallel.ba_sharded) — the full-distributed-SLAM configuration."""
     from . import ba as ba_lib
 
     obs_cam, obs_lm, obs_uv = build_tracks(pairs)
@@ -425,7 +431,15 @@ def refine_with_ba(
         # damped null direction (monocular ATE is scale-aligned anyway).
         n_fixed_cams=1,
     )
-    new_w2c, _, costs = ba_lib.optimize(problem, iterations, cg_iters, 1e-4)
+    if mesh is not None:
+        from ..parallel import ba_sharded
+
+        new_w2c, _, costs = ba_sharded.optimize_sharded(
+            problem, None, iterations, cg_iters, 1e-4, mesh=mesh
+        )
+    else:
+        new_w2c, _, costs = ba_lib.optimize(problem, iterations, cg_iters,
+                                            1e-4)
     return np.linalg.inv(np.asarray(new_w2c))
 
 

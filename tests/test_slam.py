@@ -163,3 +163,20 @@ def test_vo_ba_refinement(rng):
     ate_ba = slam.evaluate_ate(est_ba, gt)
     assert np.isfinite(est_ba).all()
     assert ate_ba < ate * 0.6, (ate, ate_ba)  # BA must materially improve
+
+
+def test_vo_ba_refinement_distributed(rng):
+    """Distributed SLAM configuration: the BA refinement runs over the
+    8-device mesh (observations sharded, psum Schur reductions) and
+    matches the single-device refinement's quality."""
+    from feature_detector_fast_tpu.parallel import mesh as meshlib
+
+    gt = make_trajectory(6)
+    pair_data = synth_pair_data(rng, gt, n_pts=2000, noise=8e-4)
+    est1 = slam.run_vo_matches(list(pair_data), slam.VOConfig(),
+                               ba_refine=True)
+    est8 = slam.run_vo_matches(list(pair_data), slam.VOConfig(),
+                               ba_refine=True, mesh=meshlib.make_mesh())
+    a1 = slam.evaluate_ate(est1, gt)
+    a8 = slam.evaluate_ate(est8, gt)
+    assert abs(a1 - a8) < 0.25 * max(a1, a8) + 1e-9, (a1, a8)
