@@ -10,7 +10,9 @@ is hierarchical, exploiting keypoint sparsity (~0.5-1% of pixels):
 
   1. pack the mask 32 pixels/word in row-major order (shift + minor-axis
      reduce, pure VPU),
-  2. `nonzero` over the ~65k WORDS (32x smaller sort) with a word cap,
+  2. select the nonzero words' indices with `lax.top_k` over a
+     descending-index key (TPU's partial-sort top_k beats the full-size
+     sort `jnp.nonzero` lowers to by ~2x at 1080p word counts),
   3. gather the packed bits of the selected words.
 
 The (word-index, word-bits) pairs are a complete, ordered sparse encoding
@@ -62,12 +64,22 @@ def compact_mask_words(
     with 0).  Overflow detection: ``n_words > max_words``.
     """
     bits, n = pack_mask_words(mask)
+    nw = bits.shape[0]
     nzw = bits != 0
     n_words = jnp.sum(nzw, dtype=jnp.int32)
-    (widx,) = jnp.nonzero(nzw, size=int(max_words), fill_value=bits.shape[0])
-    widx = widx.astype(jnp.int32)
-    safe = jnp.minimum(widx, bits.shape[0] - 1)
-    wbits = jnp.where(widx < bits.shape[0], bits[safe], 0)
+    # Ascending nonzero-word indices via top_k: key nonzero words by
+    # descending index so the k largest keys are the k smallest indices —
+    # same first-max_words-words contract as a capped nonzero, but a
+    # partial sort instead of a full one.
+    key = jnp.where(nzw, nw - 1 - jnp.arange(nw, dtype=jnp.int32), -1)
+    k_eff = min(int(max_words), nw)  # top_k needs k <= size
+    topv, topi = jax.lax.top_k(key, k_eff)
+    widx = jnp.where(topv >= 0, topi, nw).astype(jnp.int32)
+    if k_eff < int(max_words):
+        fill = jnp.full((int(max_words) - k_eff,), nw, jnp.int32)
+        widx = jnp.concatenate([widx, fill])
+    safe = jnp.minimum(widx, nw - 1)
+    wbits = jnp.where(widx < nw, bits[safe], 0)
     return widx, wbits, n, n_words
 
 

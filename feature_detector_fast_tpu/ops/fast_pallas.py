@@ -83,9 +83,11 @@ def _kernel(img_prev, img_cur, img_next, mask_out, score_out=None, *, mode: Nonm
     ).astype(jnp.int32)
     wp = window.shape[1]
 
-    # Rows for which we compute candidacy/scores: tile rows +-1 (nonmax halo).
-    rows = TILE_H + 2
-    row0 = _HALO - 1  # window row of the first computed row (tile row -1)
+    # Rows for which we compute candidacy/scores: tile rows +-1 (nonmax
+    # halo) — except in OFF mode, where no nonmax runs and the tile's own
+    # rows suffice (saves 2/18 of every plane op).
+    rows = TILE_H if mode is NonmaxMode.OFF else TILE_H + 2
+    row0 = _HALO if mode is NonmaxMode.OFF else _HALO - 1
     t = int(threshold)
 
     center = jax.lax.slice_in_dim(window, row0, row0 + rows, axis=0)
@@ -137,7 +139,8 @@ def _kernel_body(window, center, mask_out, score_out, *, i, rows, row0,
     arc_hit = folded != 0
 
     # Interior mask: global x in [3, W-4], y in [3, H-4].
-    gy = (i * TILE_H - 1) + jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 0)
+    off = row0 - _HALO  # tile row of the first computed row (0 or -1)
+    gy = (i * TILE_H + off) + jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 0)
     gx = jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 1)
     interior = (
         (gy >= RADIUS) & (gy < height - RADIUS)
@@ -146,9 +149,7 @@ def _kernel_body(window, center, mask_out, score_out, *, i, rows, row0,
     kp = arc_hit & interior
 
     if mode is NonmaxMode.OFF:
-        mask_out[:, :] = jax.lax.slice_in_dim(kp, 1, 1 + TILE_H, axis=0).astype(
-            jnp.uint16
-        )
+        mask_out[:, :] = kp.astype(jnp.uint16)  # rows == TILE_H exactly
         return
 
     if mode is NonmaxMode.MAX_THRESHOLD:
