@@ -41,15 +41,66 @@ from ..geometry import NORTH as NORTH_I, EAST as EAST_I, SOUTH as SOUTH_I, \
     WEST as WEST_I
 from . import windows
 
-TILE_H = 16
+TILE_H = 32
+TILE_H_OFF = 32
 LANES = 128
 # Window rows around a tile: nonmax halo (1) + circle radius (3).
 _HALO = RADIUS + 1  # 4
-# TILE_H=16 keeps the 4 shared reduction levels (64 planes of
-# (TILE_H+2, width) i32) inside the 16 MB VMEM budget at width 1920 for
-# every count in 9..=16; 32-row tiles OOM for counts whose window
-# decomposition has >= 3 parts.  Outputs are uint16 because the 8-bit
-# min-tile is (32, 128) — taller than the tile.
+# 32-row tiles (halves per-tile halo/DMA/grid overhead vs 16).  This fits
+# the 16 MB scoped-VMEM budget at width 1920 for every mode and count in
+# 9..=16 because the arc test is a single packed-bit plane
+# (_packed_any_window_all) — the former 16-plane boolean pyramid plus its
+# shared reduction levels forced 16-row tiles.  The score-window
+# reductions (MT mode) remain the VMEM high-water mark; verified on v5e
+# for all counts.  Outputs are uint16 because the 8-bit min-tile is
+# (32, 128).
+
+
+def _tile_h(mode: NonmaxMode) -> int:
+    return TILE_H
+
+
+def _i32c(v: int) -> int:
+    """Python int -> int32 bit pattern (wrapping), for mask constants."""
+    import numpy as np
+
+    return int(np.int32(np.uint32(v & 0xFFFFFFFF)))
+
+
+def _rot_fields(x: jax.Array, a: int) -> jax.Array:
+    """Rotate each 16-bit field of an i32 plane right by ``a``: output bit
+    s of a field = input bit (s + a) mod 16 of the same field.  Masks keep
+    the two fields (bright ring in bits 0-15, dark ring in bits 16-31)
+    independent; arithmetic-shift sign fill lands in masked-off bits."""
+    lo = _i32c((0xFFFF >> a) * 0x00010001)
+    hi = _i32c(((0xFFFF << (16 - a)) & 0xFFFF) * 0x00010001)
+    return ((x >> a) & lo) | ((x << (16 - a)) & hi)
+
+
+def _packed_any_window_all(m: jax.Array, count: int) -> jax.Array:
+    """Wraparound n-consecutive test on packed polarity rings.
+
+    ``m`` holds per pixel the 16 bright-arc bits (bits 0-15) and the 16
+    dark-arc bits (16-31).  This is the TPU re-design of the reference's
+    16-rotation consecutive-mask scan (fast_simd.rs:244-295): run-length
+    doubling with field-local rotations — bit s of runs[L] is set iff ring
+    bits s..s+L-1 are all set — then a greedy power-of-two composition for
+    ``count``.  ~20 plane ops replace the 16-plane boolean chain, and the
+    intermediates are ONE plane, not a 16-plane pyramid (VMEM).
+    Result is nonzero iff some window of ``count`` consecutive circle taps
+    is all-bright or all-dark."""
+    runs = {1: m}
+    for level in (2, 4, 8):
+        prev = runs[level // 2]
+        runs[level] = prev & _rot_fields(prev, level // 2)
+    parts = [8, 8] if count == 16 else [p for p in (8, 4, 2, 1) if count & p]
+    acc = None
+    off = 0
+    for p in parts:
+        term = runs[p] if off == 0 else _rot_fields(runs[p], off)
+        acc = term if acc is None else acc & term
+        off += p
+    return acc
 
 
 def _roll_cols(plane: jax.Array, dx: int) -> jax.Array:
@@ -69,13 +120,13 @@ def _shifted(plane: jax.Array, dx: int, dy: int, rows: int, row0: int) -> jax.Ar
 
 
 def _kernel(img_prev, img_cur, img_next, mask_out, score_out=None, *, mode: NonmaxMode,
-            threshold: int, count: int, height: int, width: int):
+            threshold: int, count: int, height: int, width: int, tile_h: int):
     i = pl.program_id(0)
 
-    # (TILE_H + 8)-row window around this tile, int32.
+    # (tile_h + 8)-row window around this tile, int32.
     window = jnp.concatenate(
         [
-            img_prev[TILE_H - _HALO :, :],
+            img_prev[tile_h - _HALO :, :],
             img_cur[:, :],
             img_next[:_HALO, :],
         ],
@@ -85,8 +136,8 @@ def _kernel(img_prev, img_cur, img_next, mask_out, score_out=None, *, mode: Nonm
 
     # Rows for which we compute candidacy/scores: tile rows +-1 (nonmax
     # halo) — except in OFF mode, where no nonmax runs and the tile's own
-    # rows suffice (saves 2/18 of every plane op).
-    rows = TILE_H if mode is NonmaxMode.OFF else TILE_H + 2
+    # rows suffice.
+    rows = tile_h if mode is NonmaxMode.OFF else tile_h + 2
     row0 = _HALO if mode is NonmaxMode.OFF else _HALO - 1
     t = int(threshold)
 
@@ -108,39 +159,41 @@ def _kernel(img_prev, img_cur, img_next, mask_out, score_out=None, *, mode: Nonm
 
     @pl.when(jnp.logical_not(tile_has_candidates))
     def _():
-        mask_out[:, :] = jnp.zeros((TILE_H, wp), jnp.uint16)
+        mask_out[:, :] = jnp.zeros((tile_h, wp), jnp.uint16)
         if mode is not NonmaxMode.OFF:
-            score_out[:, :] = jnp.zeros((TILE_H, wp), jnp.uint16)
+            score_out[:, :] = jnp.zeros((tile_h, wp), jnp.uint16)
 
     @pl.when(tile_has_candidates)
     def _():
         _kernel_body(
             window, center, mask_out, score_out, i=i, rows=rows, row0=row0,
             mode=mode, t=t, count=count, height=height, width=width,
+            tile_h=tile_h,
         )
 
 
 def _kernel_body(window, center, mask_out, score_out, *, i, rows, row0,
-                 mode: NonmaxMode, t: int, count: int, height: int, width: int):
+                 mode: NonmaxMode, t: int, count: int, height: int, width: int,
+                 tile_h: int):
     wp = window.shape[1]
     taps = [_shifted(window, dx, dy, rows, row0) for (dx, dy) in CIRCLE]
 
-    # Both polarities ride one bit-plane (bright = bit 0, dark = bit 1):
-    # the n-consecutive chain is bitwise AND/OR, so a single chain tests
-    # both arcs at once — half the reduction work of two boolean chains.
-    pol = [
-        (p - center > t).astype(jnp.int32)
-        + ((center - p > t).astype(jnp.int32) << 1)
-        for p in taps
-    ]
-    folded = windows.ring_any_window_all(
-        pol, count, lambda a, b: a & b, lambda a, b: a | b
-    )
-    arc_hit = folded != 0
+    # Both polarity rings ride ONE packed bit-plane per pixel — bright arc
+    # bits 0-15, dark arc bits 16-31 (tap k -> bit k) — so the wraparound
+    # n-consecutive test is a handful of field-rotation/AND steps instead
+    # of a 16-plane boolean pyramid (see _packed_any_window_all).
+    packed = jnp.zeros((rows, wp), jnp.int32)
+    for k, p in enumerate(taps):
+        packed = (
+            packed
+            | jnp.where(p - center > t, jnp.int32(1 << k), 0)
+            | jnp.where(center - p > t, jnp.int32(_i32c(1 << (16 + k))), 0)
+        )
+    arc_hit = _packed_any_window_all(packed, count) != 0
 
     # Interior mask: global x in [3, W-4], y in [3, H-4].
     off = row0 - _HALO  # tile row of the first computed row (0 or -1)
-    gy = (i * TILE_H + off) + jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 0)
+    gy = (i * tile_h + off) + jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 0)
     gx = jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 1)
     interior = (
         (gy >= RADIUS) & (gy < height - RADIUS)
@@ -149,7 +202,7 @@ def _kernel_body(window, center, mask_out, score_out, *, i, rows, row0,
     kp = arc_hit & interior
 
     if mode is NonmaxMode.OFF:
-        mask_out[:, :] = kp.astype(jnp.uint16)  # rows == TILE_H exactly
+        mask_out[:, :] = kp.astype(jnp.uint16)  # rows == tile_h exactly
         return
 
     if mode is NonmaxMode.MAX_THRESHOLD:
@@ -181,10 +234,10 @@ def _kernel_body(window, center, mask_out, score_out, *, i, rows, row0,
             neigh = jnp.maximum(neigh, _roll_cols(base, dx))
     keep = kp & (s > neigh) & (gy != RADIUS) & (gy != height - RADIUS - 1)
 
-    mask_out[:, :] = jax.lax.slice_in_dim(keep, 1, 1 + TILE_H, axis=0).astype(
+    mask_out[:, :] = jax.lax.slice_in_dim(keep, 1, 1 + tile_h, axis=0).astype(
         jnp.uint16
     )
-    score_out[:, :] = jax.lax.slice_in_dim(s, 1, 1 + TILE_H, axis=0).astype(
+    score_out[:, :] = jax.lax.slice_in_dim(s, 1, 1 + tile_h, axis=0).astype(
         jnp.uint16
     )
 
@@ -199,7 +252,8 @@ def padded_width(w: int) -> int:
 
 
 def padded_height(h: int) -> int:
-    return _pad_to(int(h), TILE_H)
+    """Upper bound over both tile heights (OFF uses 32-row tiles)."""
+    return _pad_to(int(h), max(TILE_H, TILE_H_OFF))
 
 
 def detect_dense_padded(
@@ -214,9 +268,10 @@ def detect_dense_padded(
     as flat indices over ``padded_width(w)``."""
     nonmax = NonmaxMode(nonmax)
     h, w = image.shape
-    hp, wp = _pad_to(h, TILE_H), _pad_to(w, LANES)
+    tile_h = _tile_h(nonmax)
+    hp, wp = _pad_to(h, tile_h), _pad_to(w, LANES)
     img = jnp.pad(image, ((0, hp - h), (0, wp - w)))
-    n_tiles = hp // TILE_H
+    n_tiles = hp // tile_h
 
     kernel = functools.partial(
         _kernel,
@@ -225,6 +280,7 @@ def detect_dense_padded(
         count=int(count),
         height=h,
         width=w,
+        tile_h=tile_h,
     )
     clamp = lambda v: jnp.clip(v, 0, n_tiles - 1)
     n_outs = 1 if nonmax is NonmaxMode.OFF else 2
@@ -232,12 +288,12 @@ def detect_dense_padded(
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((TILE_H, wp), lambda i: (clamp(i - 1), 0)),
-            pl.BlockSpec((TILE_H, wp), lambda i: (i, 0)),
-            pl.BlockSpec((TILE_H, wp), lambda i: (clamp(i + 1), 0)),
+            pl.BlockSpec((tile_h, wp), lambda i: (clamp(i - 1), 0)),
+            pl.BlockSpec((tile_h, wp), lambda i: (i, 0)),
+            pl.BlockSpec((tile_h, wp), lambda i: (clamp(i + 1), 0)),
         ],
         out_specs=[
-            pl.BlockSpec((TILE_H, wp), lambda i: (i, 0))
+            pl.BlockSpec((tile_h, wp), lambda i: (i, 0))
             for _ in range(n_outs)
         ],
         out_shape=(
