@@ -84,6 +84,13 @@ def _detect_compact(image, threshold: int, count: int, nonmax: NonmaxMode,
     if _use_pallas():
         from .ops import fast_pallas
 
+        if fast_pallas.words_supported(image.shape[1]):
+            # Packed-words kernel: the dense mask never exists in HBM.
+            words = fast_pallas.detect_words_padded(
+                image, threshold, count, nonmax, False
+            )
+            wpw = fast_pallas.padded_width(image.shape[1]) // 32
+            return compact.compact_packed_words(words, wpw, max_words)
         mask, _ = fast_pallas.detect_dense_padded(
             image, threshold, count, nonmax, False
         )
@@ -176,18 +183,37 @@ def _detect_compact_batch_packed(images, threshold: int, count: int,
     return jax.vmap(one)(images)
 
 
+def _expand_batch(widx: np.ndarray, wbits: np.ndarray, n_np: np.ndarray,
+                  width: int) -> List[np.ndarray]:
+    """Expand a (B, max_words) packed-word batch to per-frame (N_i, 2)
+    arrays — through the native threaded host runtime when available
+    (runtime/native.py), else the numpy path."""
+    from .runtime import native as _native
+
+    if _native.available():
+        cap = max(1, int(n_np.max(initial=0)))
+        out = _native.expand_words_batch(widx, wbits.view(np.uint32), width,
+                                         per_frame_cap=cap)
+    else:
+        out = [
+            compact.expand_words_host(widx[i], wbits[i], int(n_np[i]), width)
+            for i in range(widx.shape[0])
+        ]
+    for i, kp in enumerate(out):
+        assert kp.shape[0] == int(n_np[i]), (kp.shape, int(n_np[i]))
+    return out
+
+
 def unpack_batch_packed(packed: np.ndarray, max_words: int, width: int):
     """Host-side decode of `_detect_compact_batch_packed` output into a list
     of (N_i, 2) uint32 keypoint arrays."""
-    out = []
-    for row in packed:
-        n, n_words = int(row[0]), int(row[1])
-        if n_words > max_words:
-            raise OverflowError(f"word cap exceeded: {n_words} > {max_words}")
-        widx = row[128 : 128 + max_words]
-        wbits = row[128 + max_words : 128 + 2 * max_words]
-        out.append(compact.expand_words_host(widx, wbits, n, width))
-    return out
+    n_words = packed[:, 1]
+    if int(n_words.max(initial=0)) > max_words:
+        raise OverflowError(
+            f"word cap exceeded: {int(n_words.max())} > {max_words}")
+    widx = packed[:, 128 : 128 + max_words]
+    wbits = packed[:, 128 + max_words : 128 + 2 * max_words]
+    return _expand_batch(widx, wbits, packed[:, 0], width)
 
 
 def detect_batch_arrays(
@@ -211,10 +237,7 @@ def detect_batch_arrays(
         n_words_np = np.asarray(n_words)
         if n_words_np.max(initial=0) <= cap:
             widx, wbits, n_np = np.asarray(widx), np.asarray(wbits), np.asarray(n)
-            return [
-                compact.expand_words_host(widx[i], wbits[i], int(n_np[i]), w_eff)
-                for i in range(b)
-            ]
+            return _expand_batch(widx, wbits, n_np, w_eff)
         cap = min(max(cap * 4, int(n_words_np.max())), max_cap)
 
 

@@ -64,13 +64,21 @@ def compact_mask_words(
     with 0).  Overflow detection: ``n_words > max_words``.
     """
     bits, n = pack_mask_words(mask)
+    widx, wbits, n_words = _select_nonzero_words(bits, max_words)
+    return widx, wbits, n, n_words
+
+
+def _select_nonzero_words(
+    bits: jax.Array, max_words: int
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Select the (ascending) indices + bits of nonzero words, capped.
+
+    Uses top_k with a descending-index key: the k largest keys are the k
+    smallest nonzero indices — same first-max_words-words contract as a
+    capped nonzero, but a partial sort instead of a full one."""
     nw = bits.shape[0]
     nzw = bits != 0
     n_words = jnp.sum(nzw, dtype=jnp.int32)
-    # Ascending nonzero-word indices via top_k: key nonzero words by
-    # descending index so the k largest keys are the k smallest indices —
-    # same first-max_words-words contract as a capped nonzero, but a
-    # partial sort instead of a full one.
     key = jnp.where(nzw, nw - 1 - jnp.arange(nw, dtype=jnp.int32), -1)
     k_eff = min(int(max_words), nw)  # top_k needs k <= size
     topv, topi = jax.lax.top_k(key, k_eff)
@@ -80,6 +88,18 @@ def compact_mask_words(
         widx = jnp.concatenate([widx, fill])
     safe = jnp.minimum(widx, nw - 1)
     wbits = jnp.where(widx < nw, bits[safe], 0)
+    return widx, wbits, n_words
+
+
+def compact_packed_words(
+    words2d: jax.Array, n_word_cols: int, max_words: int
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """`compact_mask_words` for a kernel that already emitted packed words
+    (fast_pallas.detect_words_padded): (rows, lanes) i32 with the first
+    ``n_word_cols`` lanes valid.  Same return contract."""
+    bits = words2d[:, : int(n_word_cols)].reshape(-1)
+    n = jax.lax.population_count(bits.view(jnp.uint32)).sum(dtype=jnp.int32)
+    widx, wbits, n_words = _select_nonzero_words(bits, max_words)
     return widx, wbits, n, n_words
 
 

@@ -119,10 +119,10 @@ def _shifted(plane: jax.Array, dx: int, dy: int, rows: int, row0: int) -> jax.Ar
     return _roll_cols(sl, dx)
 
 
-def _kernel(img_prev, img_cur, img_next, mask_out, score_out=None, *, mode: NonmaxMode,
-            threshold: int, count: int, height: int, width: int, tile_h: int):
-    i = pl.program_id(0)
-
+def _window_prefilter(img_prev, img_cur, img_next, *, mode: NonmaxMode,
+                      threshold: int, count: int, tile_h: int):
+    """Shared tile preamble: build the halo window and run the cardinal
+    prefilter.  Returns (window, rows, row0, center, tile_has_candidates)."""
     # (tile_h + 8)-row window around this tile, int32.
     window = jnp.concatenate(
         [
@@ -132,7 +132,6 @@ def _kernel(img_prev, img_cur, img_next, mask_out, score_out=None, *, mode: Nonm
         ],
         axis=0,
     ).astype(jnp.int32)
-    wp = window.shape[1]
 
     # Rows for which we compute candidacy/scores: tile rows +-1 (nonmax
     # halo) — except in OFF mode, where no nonmax runs and the tile's own
@@ -156,6 +155,17 @@ def _kernel(img_prev, img_cur, img_next, mask_out, score_out=None, *, mode: Nonm
     nb = sum((p - center > t).astype(jnp.int32) for p in card)
     nd = sum((center - p > t).astype(jnp.int32) for p in card)
     tile_has_candidates = jnp.any((nb >= need) | (nd >= need))
+    return window, rows, row0, center, tile_has_candidates
+
+
+def _kernel(img_prev, img_cur, img_next, mask_out, score_out=None, *, mode: NonmaxMode,
+            threshold: int, count: int, height: int, width: int, tile_h: int):
+    i = pl.program_id(0)
+    window, rows, row0, center, tile_has_candidates = _window_prefilter(
+        img_prev, img_cur, img_next, mode=mode, threshold=int(threshold),
+        count=count, tile_h=tile_h,
+    )
+    wp = window.shape[1]
 
     @pl.when(jnp.logical_not(tile_has_candidates))
     def _():
@@ -165,16 +175,22 @@ def _kernel(img_prev, img_cur, img_next, mask_out, score_out=None, *, mode: Nonm
 
     @pl.when(tile_has_candidates)
     def _():
-        _kernel_body(
-            window, center, mask_out, score_out, i=i, rows=rows, row0=row0,
-            mode=mode, t=t, count=count, height=height, width=width,
+        keep, s = _tile_keypoints(
+            window, center, i=i, rows=rows, row0=row0, mode=mode,
+            t=int(threshold), count=count, height=height, width=width,
             tile_h=tile_h,
         )
+        mask_out[:, :] = keep.astype(jnp.uint16)
+        if mode is not NonmaxMode.OFF:
+            score_out[:, :] = s.astype(jnp.uint16)
 
 
-def _kernel_body(window, center, mask_out, score_out, *, i, rows, row0,
-                 mode: NonmaxMode, t: int, count: int, height: int, width: int,
-                 tile_h: int):
+def _tile_keypoints(window, center, *, i, rows, row0,
+                    mode: NonmaxMode, t: int, count: int, height: int,
+                    width: int, tile_h: int):
+    """Arc test + score + nonmax for one tile.  Returns the tile's central
+    rows: (keep (tile_h, wp) bool, score (tile_h, wp) i32 — zeros in OFF
+    mode)."""
     wp = window.shape[1]
     taps = [_shifted(window, dx, dy, rows, row0) for (dx, dy) in CIRCLE]
 
@@ -202,8 +218,7 @@ def _kernel_body(window, center, mask_out, score_out, *, i, rows, row0,
     kp = arc_hit & interior
 
     if mode is NonmaxMode.OFF:
-        mask_out[:, :] = kp.astype(jnp.uint16)  # rows == tile_h exactly
-        return
+        return kp, jnp.zeros((tile_h, wp), jnp.int32)  # rows == tile_h
 
     if mode is NonmaxMode.MAX_THRESHOLD:
         diffs = [center - p for p in taps]
@@ -234,11 +249,9 @@ def _kernel_body(window, center, mask_out, score_out, *, i, rows, row0,
             neigh = jnp.maximum(neigh, _roll_cols(base, dx))
     keep = kp & (s > neigh) & (gy != RADIUS) & (gy != height - RADIUS - 1)
 
-    mask_out[:, :] = jax.lax.slice_in_dim(keep, 1, 1 + tile_h, axis=0).astype(
-        jnp.uint16
-    )
-    score_out[:, :] = jax.lax.slice_in_dim(s, 1, 1 + tile_h, axis=0).astype(
-        jnp.uint16
+    return (
+        jax.lax.slice_in_dim(keep, 1, 1 + tile_h, axis=0),
+        jax.lax.slice_in_dim(s, 1, 1 + tile_h, axis=0),
     )
 
 
@@ -319,3 +332,122 @@ def detect_dense_pallas(
     mask, score = detect_dense_padded(image, threshold, count, nonmax,
                                       interpret)
     return mask[:h, :w].astype(bool), score[:h, :w]
+
+
+# ---------------------------------------------------------------------------
+# Packed-words emission: detection whose only HBM output is the 32-pixel
+# keypoint words — the dense mask never exists in memory.
+# ---------------------------------------------------------------------------
+
+_WORD_LANES = 128  # lane width of the packed-words output block
+
+
+def words_supported(w: int) -> bool:
+    """The packed-words kernel holds one row of words per sublane —
+    requires padded_width(w)/32 <= 128 lanes (images up to 4096 px wide)."""
+    return padded_width(w) // 32 <= _WORD_LANES
+
+
+@functools.lru_cache(maxsize=None)
+def _pack_weights(wp: int):
+    """(wp, 4*_WORD_LANES) bf16 packing matrix.
+
+    Column c of the keypoint plane (word j = c//32, bit r = c%32, byte
+    t = r//8, bit-in-byte b = r%8) contributes 2^b to output column
+    t*_WORD_LANES + j.  A bf16 matmul of the {0,1} keypoint plane against
+    this matrix on the MXU packs 8 mask bits per output byte EXACTLY —
+    every term is a distinct power of two <= 128, per-dot sums <= 255,
+    and f32 accumulation is exact far beyond that.
+
+    Returns a HOST numpy array (bf16) — callers convert per trace; caching
+    a device/traced array here would leak tracers across jit scopes."""
+    import numpy as np
+    import ml_dtypes
+
+    wpw = wp // 32
+    assert wpw <= _WORD_LANES, wp
+    w = np.zeros((wp, 4 * _WORD_LANES), np.float32)
+    c = np.arange(wp)
+    j, r = c // 32, c % 32
+    t, b = r // 8, r % 8
+    w[c, t * _WORD_LANES + j] = np.left_shift(1, b).astype(np.float32)
+    return w.astype(ml_dtypes.bfloat16)
+
+
+def _kernel_words(img_prev, img_cur, img_next, wmat, words_out, *,
+                  mode: NonmaxMode, threshold: int, count: int, height: int,
+                  width: int, tile_h: int):
+    i = pl.program_id(0)
+    window, rows, row0, center, tile_has_candidates = _window_prefilter(
+        img_prev, img_cur, img_next, mode=mode, threshold=int(threshold),
+        count=count, tile_h=tile_h,
+    )
+
+    @pl.when(jnp.logical_not(tile_has_candidates))
+    def _():
+        words_out[:, :] = jnp.zeros((tile_h, _WORD_LANES), jnp.int32)
+
+    @pl.when(tile_has_candidates)
+    def _():
+        keep, _ = _tile_keypoints(
+            window, center, i=i, rows=rows, row0=row0, mode=mode,
+            t=int(threshold), count=count, height=height, width=width,
+            tile_h=tile_h,
+        )
+        wb = jax.lax.dot_general(
+            keep.astype(jnp.bfloat16), wmat[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        by = [
+            jax.lax.slice_in_dim(
+                wb, t * _WORD_LANES, (t + 1) * _WORD_LANES, axis=1
+            ).astype(jnp.int32)
+            for t in range(4)
+        ]
+        words_out[:, :] = by[0] | (by[1] << 8) | (by[2] << 16) | (by[3] << 24)
+
+
+def detect_words_padded(
+    image: jax.Array, threshold: int, count: int, nonmax: NonmaxMode,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused detection emitting PACKED keypoint words directly: returns
+    (hp/tile, words (hp, _WORD_LANES) i32) where row r, lane j (j <
+    padded_width/32) packs the keypoint mask of columns 32j..32j+31 — the
+    flat word stream words[:, :wp//32].reshape(-1) is identical to
+    ``ops.compact.pack_mask_words`` of the padded dense mask.  The packing
+    rides the MXU (see _pack_weights), so the dense u16 mask (and its
+    separate repack pass) never touches HBM."""
+    nonmax = NonmaxMode(nonmax)
+    h, w = image.shape
+    tile_h = _tile_h(nonmax)
+    hp, wp = _pad_to(h, tile_h), _pad_to(w, LANES)
+    assert wp // 32 <= _WORD_LANES, "use detect_dense_padded + pack for wide images"
+    img = jnp.pad(image, ((0, hp - h), (0, wp - w)))
+    n_tiles = hp // tile_h
+
+    kernel = functools.partial(
+        _kernel_words,
+        mode=nonmax,
+        threshold=int(threshold),
+        count=int(count),
+        height=h,
+        width=w,
+        tile_h=tile_h,
+    )
+    clamp = lambda v: jnp.clip(v, 0, n_tiles - 1)
+    words = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile_h, wp), lambda i: (clamp(i - 1), 0)),
+            pl.BlockSpec((tile_h, wp), lambda i: (i, 0)),
+            pl.BlockSpec((tile_h, wp), lambda i: (clamp(i + 1), 0)),
+            pl.BlockSpec((wp, 4 * _WORD_LANES), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile_h, _WORD_LANES), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((hp, _WORD_LANES), jnp.int32),
+        interpret=bool(interpret),
+    )(img, img, img, jnp.asarray(_pack_weights(wp), jnp.bfloat16))
+    return words

@@ -75,3 +75,33 @@ def test_padded_grid_compaction_matches_true_grid(rng):
     from feature_detector_fast_tpu import Config, detect_arrays
     want = detect_arrays(img, Config(16, 9, NonmaxMode.MAX_THRESHOLD))
     np.testing.assert_array_equal(got, want)
+
+
+def test_native_expand_matches_numpy(rng):
+    """C++ host-runtime expansion must be bit-identical to the numpy path
+    (order included), single-frame and threaded-batch."""
+    from feature_detector_fast_tpu.runtime import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("no native toolchain")
+
+    w = 96
+    batch, mw = 5, 40
+    widx = np.sort(
+        rng.choice(200, size=(batch, mw), replace=False).astype(np.int32), axis=1
+    )
+    wbits = rng.integers(0, 1 << 32, (batch, mw), dtype=np.uint32)
+    wbits[:, -7:] = 0  # padding tail (expansion must skip zero words)
+    counts = []
+    for f in range(batch):
+        ref = compact.expand_words_host(widx[f], wbits[f],
+                                        int(np.unpackbits(wbits[f].view(np.uint8)).sum()), w)
+        got = native.expand_words(widx[f], wbits[f], w)
+        np.testing.assert_array_equal(got, ref)
+        counts.append(len(ref))
+    outs = native.expand_words_batch(widx, wbits, w, per_frame_cap=max(counts), threads=3)
+    for f in range(batch):
+        ref = compact.expand_words_host(widx[f], wbits[f], counts[f], w)
+        np.testing.assert_array_equal(outs[f], ref)

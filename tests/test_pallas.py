@@ -74,3 +74,30 @@ def test_pallas_pathological_images(pattern):
     if pattern in ("white", "black"):
         m, _ = fast.detect_dense_jit(img, 16, 9, NonmaxMode.OFF)
         assert int(np.asarray(m).sum()) == 0
+
+
+@pytest.mark.parametrize("cfg", CONFIGS, ids=str)
+def test_packed_words_kernel_matches_dense_pack(rng, cfg):
+    """detect_words_padded (MXU bit packing, no dense mask in HBM) must emit
+    exactly pack_mask_words(dense padded mask)."""
+    from feature_detector_fast_tpu.ops import compact
+
+    img = rng.integers(0, 256, (40, 200), np.uint8)
+    threshold, count, nonmax = cfg
+    assert fast_pallas.words_supported(img.shape[1])
+
+    mask, _ = fast_pallas.detect_dense_padded(img, threshold, count, nonmax, True)
+    ref_bits, ref_n = compact.pack_mask_words(mask)
+
+    words = fast_pallas.detect_words_padded(img, threshold, count, nonmax, True)
+    wpw = fast_pallas.padded_width(img.shape[1]) // 32
+    got_bits = np.asarray(words)[:, :wpw].reshape(-1)
+    np.testing.assert_array_equal(got_bits, np.asarray(ref_bits))
+    # dead lanes beyond the valid words must be zero
+    assert not np.asarray(words)[:, wpw:].any()
+
+    widx, wbits, n, n_words = compact.compact_packed_words(words, wpw, 256)
+    rwidx, rwbits, rn, rn_words = compact.compact_mask_words(mask, 256)
+    np.testing.assert_array_equal(np.asarray(widx), np.asarray(rwidx))
+    np.testing.assert_array_equal(np.asarray(wbits), np.asarray(rwbits))
+    assert int(n) == int(rn) == int(ref_n) and int(n_words) == int(rn_words)
