@@ -41,23 +41,26 @@ from ..geometry import NORTH as NORTH_I, EAST as EAST_I, SOUTH as SOUTH_I, \
     WEST as WEST_I
 from . import windows
 
-TILE_H = 32
-TILE_H_OFF = 32
+TILE_H = 64
+TILE_H_MT = 32
 LANES = 128
 # Window rows around a tile: nonmax halo (1) + circle radius (3).
 _HALO = RADIUS + 1  # 4
-# 32-row tiles (halves per-tile halo/DMA/grid overhead vs 16).  This fits
-# the 16 MB scoped-VMEM budget at width 1920 for every mode and count in
-# 9..=16 because the arc test is a single packed-bit plane
-# (_packed_any_window_all) — the former 16-plane boolean pyramid plus its
-# shared reduction levels forced 16-row tiles.  The score-window
-# reductions (MT mode) remain the VMEM high-water mark; verified on v5e
-# for all counts.  Outputs are uint16 because the 8-bit min-tile is
-# (32, 128).
+# 64-row tiles (amortizes per-tile halo/DMA/grid overhead; 128 fails to
+# compile).  This fits the 16 MB scoped-VMEM budget at width 1920 because
+# the arc test is a single packed-bit plane (_packed_any_window_all) —
+# the former 16-plane boolean pyramid plus its shared reduction levels
+# forced 16-row tiles.  The exception is MaxThreshold: its dual
+# score-window pyramids put 64-row tiles right AT the VMEM edge — some
+# counts compiled and some OOMed across runs — so MT pins to 32-row
+# tiles, where every count compiles reliably.  All choices verified
+# bit-exact on v5e for every mode and count in 9..=16.  Outputs are
+# uint16 because the 8-bit min-tile is (32, 128).
 
 
-def _tile_h(mode: NonmaxMode) -> int:
-    return TILE_H
+def _tile_h(mode: NonmaxMode, count: int) -> int:
+    del count
+    return TILE_H_MT if mode is NonmaxMode.MAX_THRESHOLD else TILE_H
 
 
 def _i32c(v: int) -> int:
@@ -281,7 +284,7 @@ def detect_dense_padded(
     as flat indices over ``padded_width(w)``."""
     nonmax = NonmaxMode(nonmax)
     h, w = image.shape
-    tile_h = _tile_h(nonmax)
+    tile_h = _tile_h(nonmax, count)
     hp, wp = _pad_to(h, tile_h), _pad_to(w, LANES)
     img = jnp.pad(image, ((0, hp - h), (0, wp - w)))
     n_tiles = hp // tile_h
@@ -421,7 +424,7 @@ def detect_words_padded(
     separate repack pass) never touches HBM."""
     nonmax = NonmaxMode(nonmax)
     h, w = image.shape
-    tile_h = _tile_h(nonmax)
+    tile_h = _tile_h(nonmax, count)
     hp, wp = _pad_to(h, tile_h), _pad_to(w, LANES)
     assert wp // 32 <= _WORD_LANES, "use detect_dense_padded + pack for wide images"
     img = jnp.pad(image, ((0, hp - h), (0, wp - w)))

@@ -96,7 +96,7 @@ def _zero_act(h: int, w: int, k: int) -> _Act:
 
 
 @functools.partial(
-    jax.jit, static_argnums=(1, 2, 3), static_argnames=("mesh",)
+    jax.jit, static_argnums=(1, 2, 3), static_argnames=("mesh", "oriented")
 )
 def frontend_pipelined(
     frames: jax.Array,
@@ -105,6 +105,7 @@ def frontend_pipelined(
     k: int,
     *,
     mesh: Mesh,
+    oriented: bool = False,
 ) -> FrontendStream:
     """Run the 3-stage front-end pipeline over a (B, H, W) u8 frame stream.
 
@@ -128,7 +129,8 @@ def frontend_pipelined(
 
     def stage_describe(act: _Act) -> _Act:
         kps = Keypoints(act.kp_xy, act.kp_score, act.kp_valid.astype(bool))
-        desc, dvalid = brieflib.describe.__wrapped__(act.image, kps)
+        fn = brieflib.describe_oriented if oriented else brieflib.describe
+        desc, dvalid = fn.__wrapped__(act.image, kps)
         return act._replace(desc=desc, dvalid=dvalid.astype(jnp.int32))
 
     def body(all_frames):

@@ -76,3 +76,22 @@ def test_pipe_mesh_requires_three_devices():
 
     with pytest.raises(ValueError):
         pipeline.make_pipe_mesh(jax.devices()[:2])
+
+
+def test_pipeline_oriented_matches_sequential(rng):
+    frames = _frame_stream(rng, b=4)
+    mesh = pipeline.make_pipe_mesh()
+    stream = pipeline.frontend_pipelined(
+        frames, THRESHOLD, COUNT, K, mesh=mesh, oriented=True
+    )
+    prev = None
+    for i, img in enumerate(frames):
+        kps, desc, dvalid = brief.detect_and_describe(
+            img, THRESHOLD, COUNT, K, oriented=True
+        )
+        np.testing.assert_array_equal(stream.desc[i], np.asarray(desc))
+        np.testing.assert_array_equal(stream.dvalid[i], np.asarray(dvalid))
+        if prev is not None:
+            m = matchlib.match(desc, dvalid, prev[0], prev[1])
+            np.testing.assert_array_equal(stream.match_idx[i], np.asarray(m.idx_b))
+        prev = (desc, dvalid)
