@@ -268,8 +268,8 @@ def padded_width(w: int) -> int:
 
 
 def padded_height(h: int) -> int:
-    """Upper bound over both tile heights (OFF uses 32-row tiles)."""
-    return _pad_to(int(h), max(TILE_H, TILE_H_OFF))
+    """Upper bound over both tile heights (64 general, 32 MaxThreshold)."""
+    return _pad_to(int(h), max(TILE_H, TILE_H_MT))
 
 
 def detect_dense_padded(

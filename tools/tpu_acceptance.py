@@ -1,0 +1,101 @@
+"""On-hardware acceptance harness.
+
+The CPU test suite runs the Pallas kernels in interpret mode; this tool is
+the real-TPU analogue of the reference's differential harness
+(tests/compare.rs): for every (nonmax mode, count 9..=16) it runs the
+compiled Mosaic kernels — dense and packed-words — on the benchmark frame
+and asserts bit-exact agreement with the XLA dense pipeline, then checks
+the golden keypoint counts on the committed frame via the public API.
+
+Prints one JSON line: {"ok": bool, "configs": N, "failures": [...]}.
+
+Usage:  timeout 900 python tools/tpu_acceptance.py
+(first run compiles ~50 programs through the relay; the persistent compile
+cache makes reruns fast.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+from feature_detector_fast_tpu.utils import cache as _cache
+
+_cache.enable()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from feature_detector_fast_tpu import Config, NonmaxMode, detect_arrays  # noqa: E402
+from feature_detector_fast_tpu.ops import compact, fast, fast_pallas  # noqa: E402
+
+GOLDEN = {  # committed 300x200 frame, t=16 n=9 (tests/test_golden.py)
+    NonmaxMode.OFF: 309,
+    NonmaxMode.MAX_THRESHOLD: 131,
+    NonmaxMode.SUM_ABSOLUTE: 135,
+}
+
+
+def main() -> int:
+    if jax.default_backend() != "tpu":
+        print(json.dumps({"ok": False, "failures": ["not running on TPU"]}))
+        return 1
+
+    from bench import build_1080p_frame
+
+    img = build_1080p_frame()
+    im = jnp.asarray(img)
+    wpw = fast_pallas.padded_width(im.shape[1]) // 32
+    failures = []
+    n_cfg = 0
+
+    for mode in NonmaxMode:
+        for count in range(9, 17):
+            n_cfg += 1
+            tag = f"{mode.name} c={count}"
+            try:
+                mp, sp = jax.jit(
+                    lambda m=mode, c=count: fast_pallas.detect_dense_pallas.
+                    __wrapped__(im, 16, c, m, False))()
+                mx, sx = fast.detect_dense_jit(im, 16, count, mode)
+                np.testing.assert_array_equal(np.asarray(mp), np.asarray(mx))
+                np.testing.assert_array_equal(np.asarray(sp), np.asarray(sx))
+                words = jax.jit(
+                    lambda m=mode, c=count: fast_pallas.detect_words_padded(
+                        im, 16, c, m, False))()
+                ref_bits, _ = jax.jit(
+                    lambda m=mode, c=count: compact.pack_mask_words(
+                        fast_pallas.detect_dense_padded(im, 16, c, m)[0]))()
+                np.testing.assert_array_equal(
+                    np.asarray(words)[:, :wpw].reshape(-1), np.asarray(ref_bits))
+                print(f"{tag}: bit-exact (dense + packed words)",
+                      file=sys.stderr, flush=True)
+            except Exception as e:  # noqa: BLE001 — harness records and moves on
+                failures.append(f"{tag}: {type(e).__name__}: {e}")
+                print(f"{tag}: FAIL {type(e).__name__}", file=sys.stderr,
+                      flush=True)
+
+    frame = np.asarray(jax.numpy.zeros(0))  # keep jax initialized
+    del frame
+    from feature_detector_fast_tpu.utils.image import load_luma8
+
+    small = load_luma8(os.path.join(os.path.dirname(__file__), "..", "media",
+                                    "Screenshot315_torch_grey.png"))
+    for mode, want in GOLDEN.items():
+        got = len(detect_arrays(small, Config(16, 9, mode)))
+        if got != want:
+            failures.append(f"golden {mode.name}: {got} != {want}")
+        print(f"golden {mode.name}: {got} (want {want})", file=sys.stderr)
+
+    print(json.dumps({"ok": not failures, "configs": n_cfg,
+                      "failures": failures}))
+    return 0 if not failures else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
