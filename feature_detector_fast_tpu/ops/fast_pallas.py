@@ -155,8 +155,10 @@ def _window_prefilter(img_prev, img_cur, img_next, *, mode: NonmaxMode,
         _shifted(window, *CIRCLE[c], rows=rows, row0=row0)
         for c in (NORTH_I, EAST_I, SOUTH_I, WEST_I)
     ]
-    nb = sum((p - center > t).astype(jnp.int32) for p in card)
-    nd = sum((center - p > t).astype(jnp.int32) for p in card)
+    hi = center + t
+    lo = center - t
+    nb = sum((p > hi).astype(jnp.int32) for p in card)
+    nd = sum((p < lo).astype(jnp.int32) for p in card)
     tile_has_candidates = jnp.any((nb >= need) | (nd >= need))
     return window, rows, row0, center, tile_has_candidates
 
@@ -201,12 +203,17 @@ def _tile_keypoints(window, center, *, i, rows, row0,
     # bits 0-15, dark arc bits 16-31 (tap k -> bit k) — so the wraparound
     # n-consecutive test is a handful of field-rotation/AND steps instead
     # of a 16-plane boolean pyramid (see _packed_any_window_all).
+    # Compares run against precomputed c+-t bounds (the reference's
+    # saturating-bounds trick, fast_simd.rs:406-407, exact in i32) so each
+    # tap costs two compares, not two subtract+compares.
+    hi = center + t
+    lo = center - t
     packed = jnp.zeros((rows, wp), jnp.int32)
     for k, p in enumerate(taps):
         packed = (
             packed
-            | jnp.where(p - center > t, jnp.int32(1 << k), 0)
-            | jnp.where(center - p > t, jnp.int32(_i32c(1 << (16 + k))), 0)
+            | jnp.where(p > hi, jnp.int32(1 << k), 0)
+            | jnp.where(p < lo, jnp.int32(_i32c(1 << (16 + k))), 0)
         )
     arc_hit = _packed_any_window_all(packed, count) != 0
 
