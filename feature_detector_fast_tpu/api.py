@@ -132,9 +132,10 @@ def detect_arrays(
         )
         n_words = int(n_words)
         if n_words <= cap:
-            return compact.expand_words_host(
-                np.asarray(widx), np.asarray(wbits), int(n), w_eff
-            )
+            return _expand_batch(
+                np.asarray(widx)[None], np.asarray(wbits)[None],
+                np.asarray([int(n)]), w_eff,
+            )[0]
         cap = min(max(cap * 4, n_words), max_cap)
 
 

@@ -16,10 +16,13 @@ Only the power-of-two levels {1, 2, 4, 8} are kept live (they are shared
 by every window length); an arbitrary length n window at start s is then
 folded on the fly from n's binary decomposition —
 ``w_n[s] = g_8[s] . g_4[s+8] . g_1[s+12]`` for n = 13 — and immediately
-reduced into the accumulator.  This caps resident planes at 4 levels x 16,
-which keeps the fused Pallas kernel inside the 16 MB VMEM budget at full
-1080p width for every count in 9..=16 (a 5th live level OOMs at
-width 1920).
+reduced into the accumulator.  This caps resident planes at 4 levels x 16.
+In the fused Pallas kernel these list-of-planes chains remain only in the
+MaxThreshold score path (its dual min/max pyramids are why that mode uses
+32-row tiles under the 16 MB VMEM budget); the boolean arc test now runs
+on packed bit rings instead (fast_pallas._packed_any_window_all), and
+`ring_any_window_all` below is the XLA dense pipeline's (and the packed
+chain's differential-test) formulation.
 
 These helpers are array-library agnostic: they work for jnp arrays, numpy
 arrays, or Pallas in-VMEM values, since they only call the supplied
