@@ -48,13 +48,14 @@ BATCH = 16        # e2e loop (host transfer bound through the relay)
 CHIP_BATCH = 64   # chip-sustained loop (amortizes dispatch)
 ROUNDS = 10
 CHIP_ROUNDS = 20  # on-device scan rounds (one dispatch total)
-# Initial word-compaction caps (32-pixel words with >= 1 keypoint, per
-# frame).  The warmup round measures the TRUE word count and re-sizes the
-# cap to the next power of two with >= 25% headroom — compaction cost
-# scales with the cap (top_k partial sort), so the timed loop shouldn't
-# pay for an arbitrarily conservative one, and an unusually dense
-# INPUT_FILE frame must not overflow either.
-CAPS = {"off": 1 << 14, "max_threshold": 1 << 13, "sum_absolute": 1 << 13}
+# Initial superword-compaction caps (256-pixel superwords with >= 1
+# keypoint, per frame; ops.compact.SUPER_SPAN words each).  The warmup
+# round measures the TRUE superword count and re-sizes the cap to the next
+# multiple of 512 with ~12% headroom — compaction cost scales with the cap
+# (top_k partial sort), so the timed loop shouldn't pay for an arbitrarily
+# conservative one, and an unusually dense INPUT_FILE frame must not
+# overflow either.
+CAPS = {"off": 1 << 12, "max_threshold": 1 << 11, "sum_absolute": 1 << 11}
 
 
 def build_1080p_frame() -> np.ndarray:
@@ -96,13 +97,13 @@ def bench_config(batch_np, config, cap) -> tuple:
     while True:
         args = (int(config.threshold), int(config.count), config.nonmax, cap)
         packed = np.asarray(_detect_compact_batch_packed(dev_imgs, *args))
-        n_words = int(packed[:, 1].max())
-        if n_words <= cap:
+        n_supers = int(packed[:, 1].max())
+        if n_supers <= cap:
             break
-        cap = max(cap * 4, 1 << (n_words - 1).bit_length())
+        cap = max(cap * 4, 1 << (n_supers - 1).bit_length())
     kps = unpack_batch_packed(packed, cap, width)
     n_kp = len(kps[0])
-    tight = 1 << max(10, (n_words + (n_words + 3) // 4 - 1).bit_length())
+    tight = max(1024, -(-(n_supers + n_supers // 8) // 512) * 512)
     if tight != cap:
         cap = tight
         args = (int(config.threshold), int(config.count), config.nonmax, cap)
@@ -138,9 +139,9 @@ def bench_config(batch_np, config, cap) -> tuple:
     @functools.partial(jax.jit, static_argnums=(2,))
     def chip_loop(imgs, zeros, rounds):
         def body(c, z):
-            widx, wbits, n, n_words = _detect_compact_batch(imgs ^ z, *args)
-            r = (n.sum(dtype=jnp.int32) + n_words.sum(dtype=jnp.int32)
-                 + widx.sum(dtype=jnp.int32) + wbits.sum(dtype=jnp.int32))
+            sidx, sbits, n, n_supers = _detect_compact_batch(imgs ^ z, *args)
+            r = (n.sum(dtype=jnp.int32) + n_supers.sum(dtype=jnp.int32)
+                 + sidx.sum(dtype=jnp.int32) + sbits.sum(dtype=jnp.int32))
             return c + r, None
         c, _ = jax.lax.scan(body, jnp.int32(0), zeros[:rounds])
         return c

@@ -5,7 +5,7 @@ Mirrors the reference's `lib.rs` entry points: free function ``detect``
 row-major order exactly like the reference's `Vec<Point>`.
 
 Design: the device side is ONE fused jit program per (shape, config, cap) —
-dense detect + score + nonmax + hierarchical word compaction — so a
+dense detect + score + nonmax + hierarchical superword compaction — so a
 detection costs a single dispatch and a single small result fetch
 (host<->device round trips dominate on a remote-attached TPU).  A batched
 variant amortizes dispatch further; it is the production serving path and
@@ -27,18 +27,19 @@ from .ops import compact, fast
 
 ImageLike = Union[np.ndarray, jax.Array]
 
-#: Initial word-compaction cap (32-pixel words containing >= 1 keypoint);
-#: grows geometrically on overflow, so even a pathological all-corners
-#: image is handled without dropping keypoints.
-_DEFAULT_WORD_CAP = 1 << 14
+#: Initial superword-compaction cap (256-pixel superwords containing >= 1
+#: keypoint; ops.compact.SUPER_SPAN words each); grows geometrically on
+#: overflow, so even a pathological all-corners image is handled without
+#: dropping keypoints.
+_DEFAULT_SUPER_CAP = 1 << 11
 
 
 def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _max_word_cap(h: int, w: int) -> int:
-    """Upper bound on nonzero 32-pixel words.  The Pallas path packs the
+def _max_super_cap(h: int, w: int) -> int:
+    """Upper bound on nonzero superwords.  The Pallas path packs the
     lane-padded grid, where words align per padded row — up to one extra
     word per row vs flat true-grid packing — so the bound must use the
     padded dimensions or pathological images could retry forever."""
@@ -46,7 +47,16 @@ def _max_word_cap(h: int, w: int) -> int:
         from .ops import fast_pallas
 
         h, w = fast_pallas.padded_height(h), fast_pallas.padded_width(w)
-    return -(-h * w // compact.WORD_BITS)
+    n_words = -(-h * w // compact.WORD_BITS)
+    return -(-n_words // compact.SUPER_SPAN)
+
+
+def _grow_cap(cap: int, n_supers: int, max_cap: int) -> int:
+    """Overflow-retry cap growth: at least double, at least ~12% headroom
+    over the true superword count, rounded to a 512 multiple (bounds the
+    number of distinct compiled programs), clamped to the grid bound."""
+    new = max(cap * 2, n_supers + n_supers // 8)
+    return min(-(-new // 512) * 512, max_cap)
 
 
 def effective_width(w: int) -> int:
@@ -77,9 +87,9 @@ def _detect_dense_best(image, threshold: int, count: int, nonmax: NonmaxMode):
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def _detect_compact(image, threshold: int, count: int, nonmax: NonmaxMode,
-                    max_words: int):
-    """Fused detect + hierarchical compaction.  Returns
-    (word_idx, word_bits, n_points, n_words); see ops.compact.  Indices
+                    max_supers: int):
+    """Fused detect + hierarchical superword compaction.  Returns
+    (super_idx, super_bits, n_points, n_supers); see ops.compact.  Indices
     encode flat positions over `effective_width(w)` columns."""
     if _use_pallas():
         from .ops import fast_pallas
@@ -90,13 +100,13 @@ def _detect_compact(image, threshold: int, count: int, nonmax: NonmaxMode,
                 image, threshold, count, nonmax, False
             )
             wpw = fast_pallas.padded_width(image.shape[1]) // 32
-            return compact.compact_packed_words(words, wpw, max_words)
+            return compact.compact_packed_supers(words, wpw, max_supers)
         mask, _ = fast_pallas.detect_dense_padded(
             image, threshold, count, nonmax, False
         )
     else:
         mask, _ = fast.detect_dense(image, threshold, count, nonmax)
-    return compact.compact_mask_words(mask, max_words)
+    return compact.compact_mask_supers(mask, max_supers)
 
 
 def _as_device_image(image: ImageLike, expect_ndim: int) -> jax.Array:
@@ -114,39 +124,39 @@ def detect_arrays(
     image: ImageLike,
     config: Optional[Config] = None,
     *,
-    max_words: Optional[int] = None,
+    max_supers: Optional[int] = None,
 ) -> np.ndarray:
     """Detect keypoints; returns an (N, 2) uint32 array of (x, y) rows in
-    row-major image order.  ``max_words`` only sets the initial compaction
+    row-major image order.  ``max_supers`` only sets the initial compaction
     cap — on overflow the cap grows and detection reruns, so results are
     always complete (SURVEY.md §7 hard part iv)."""
     config = config or Config()
     img = _as_device_image(image, 2)
     h, w = img.shape
-    cap = int(max_words or _DEFAULT_WORD_CAP)
-    max_cap = _max_word_cap(h, w)
+    cap = int(max_supers or _DEFAULT_SUPER_CAP)
+    max_cap = _max_super_cap(h, w)
     w_eff = effective_width(w)
     while True:
-        widx, wbits, n, n_words = _detect_compact(
+        sidx, sbits, n, n_supers = _detect_compact(
             img, int(config.threshold), int(config.count), config.nonmax, cap
         )
-        n_words = int(n_words)
-        if n_words <= cap:
+        n_supers = int(n_supers)
+        if n_supers <= cap:
             return _expand_batch(
-                np.asarray(widx)[None], np.asarray(wbits)[None],
+                np.asarray(sidx)[None], np.asarray(sbits)[None],
                 np.asarray([int(n)]), w_eff,
             )[0]
-        cap = min(max(cap * 4, n_words), max_cap)
+        cap = _grow_cap(cap, n_supers, max_cap)
 
 
 def detect(
     image: ImageLike,
     config: Optional[Config] = None,
     *,
-    max_words: Optional[int] = None,
+    max_supers: Optional[int] = None,
 ) -> List[Point]:
     """Detect keypoints as a list of :class:`Point` (reference: lib.rs:62-64)."""
-    xy = detect_arrays(image, config, max_words=max_words)
+    xy = detect_arrays(image, config, max_supers=max_supers)
     return [Point(int(x), int(y)) for x, y in xy]
 
 
@@ -157,102 +167,106 @@ def detect(
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def _detect_compact_batch(images, threshold: int, count: int, nonmax: NonmaxMode,
-                          max_words: int):
+                          max_supers: int):
     def one(im):
-        return _detect_compact.__wrapped__(im, threshold, count, nonmax, max_words)
+        return _detect_compact.__wrapped__(im, threshold, count, nonmax, max_supers)
 
     return jax.vmap(one)(images)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def _detect_compact_batch_packed(images, threshold: int, count: int,
-                                 nonmax: NonmaxMode, max_words: int):
+                                 nonmax: NonmaxMode, max_supers: int):
     """Batched detect + compact with a SINGLE packed int32 output per frame:
-    slot 0 the true keypoint count, slot 1 the true nonzero-word count,
-    slots [128, 128+cap) the word indices, slots [128+cap, 128+2*cap) the
-    word bits.  One output array means one device->host fetch per round —
-    the serving-path layout for hosts where readback round trips dominate."""
-    mw = int(max_words)
+    slot 0 the true keypoint count, slot 1 the true nonzero-superword
+    count, slots [128, 128+cap) the superword indices, slots
+    [128+cap, 128+cap*(1+SUPER_SPAN)) the superwords' word bits (row-major
+    (cap, SUPER_SPAN)).  One output array means one device->host fetch per
+    round — the serving-path layout for hosts where readback round trips
+    dominate."""
+    ms = int(max_supers)
 
     def one(im):
-        widx, wbits, n, n_words = _detect_compact.__wrapped__(
-            im, threshold, count, nonmax, mw
+        sidx, sbits, n, n_supers = _detect_compact.__wrapped__(
+            im, threshold, count, nonmax, ms
         )
-        head = jnp.zeros((128,), jnp.int32).at[0].set(n).at[1].set(n_words)
-        return jnp.concatenate([head, widx, wbits])
+        head = jnp.zeros((128,), jnp.int32).at[0].set(n).at[1].set(n_supers)
+        return jnp.concatenate([head, sidx, sbits.reshape(-1)])
 
     return jax.vmap(one)(images)
 
 
-def _expand_batch(widx: np.ndarray, wbits: np.ndarray, n_np: np.ndarray,
+def _expand_batch(sidx: np.ndarray, sbits: np.ndarray, n_np: np.ndarray,
                   width: int) -> List[np.ndarray]:
-    """Expand a (B, max_words) packed-word batch to per-frame (N_i, 2)
-    arrays — through the native threaded host runtime when available
-    (runtime/native.py), else the numpy path."""
+    """Expand a (B, cap) + (B, cap, SUPER_SPAN) superword batch to
+    per-frame (N_i, 2) arrays — through the native threaded host runtime
+    when available (runtime/native.py), else the numpy path."""
     from .runtime import native as _native
 
     if _native.available():
         cap = max(1, int(n_np.max(initial=0)))
-        out = _native.expand_words_batch(widx, wbits.view(np.uint32), width,
-                                         per_frame_cap=cap)
+        out = _native.expand_supers_batch(sidx, sbits.view(np.uint32), width,
+                                          per_frame_cap=cap)
     else:
         out = [
-            compact.expand_words_host(widx[i], wbits[i], int(n_np[i]), width)
-            for i in range(widx.shape[0])
+            compact.expand_supers_host(sidx[i], sbits[i], int(n_np[i]), width)
+            for i in range(sidx.shape[0])
         ]
     for i, kp in enumerate(out):
         assert kp.shape[0] == int(n_np[i]), (kp.shape, int(n_np[i]))
     return out
 
 
-def unpack_batch_packed(packed: np.ndarray, max_words: int, width: int):
+def unpack_batch_packed(packed: np.ndarray, max_supers: int, width: int):
     """Host-side decode of `_detect_compact_batch_packed` output into a list
     of (N_i, 2) uint32 keypoint arrays."""
-    n_words = packed[:, 1]
-    if int(n_words.max(initial=0)) > max_words:
+    n_supers = packed[:, 1]
+    if int(n_supers.max(initial=0)) > max_supers:
         raise OverflowError(
-            f"word cap exceeded: {int(n_words.max())} > {max_words}")
-    widx = packed[:, 128 : 128 + max_words]
-    wbits = packed[:, 128 + max_words : 128 + 2 * max_words]
-    return _expand_batch(widx, wbits, packed[:, 0], width)
+            f"superword cap exceeded: {int(n_supers.max())} > {max_supers}")
+    span = compact.SUPER_SPAN
+    sidx = packed[:, 128 : 128 + max_supers]
+    sbits = packed[:, 128 + max_supers : 128 + max_supers * (1 + span)]
+    return _expand_batch(sidx, sbits.reshape(-1, max_supers, span),
+                         packed[:, 0], width)
 
 
 def detect_batch_arrays(
     images: ImageLike,
     config: Optional[Config] = None,
     *,
-    max_words: Optional[int] = None,
+    max_supers: Optional[int] = None,
 ) -> List[np.ndarray]:
     """Detect over a (B, H, W) u8 batch in one dispatch; returns a list of
     per-frame (N_i, 2) uint32 arrays."""
     config = config or Config()
     imgs = _as_device_image(images, 3)
     b, h, w = imgs.shape
-    cap = int(max_words or _DEFAULT_WORD_CAP)
-    max_cap = _max_word_cap(h, w)
+    cap = int(max_supers or _DEFAULT_SUPER_CAP)
+    max_cap = _max_super_cap(h, w)
     w_eff = effective_width(w)
     while True:
-        widx, wbits, n, n_words = _detect_compact_batch(
+        sidx, sbits, n, n_supers = _detect_compact_batch(
             imgs, int(config.threshold), int(config.count), config.nonmax, cap
         )
-        n_words_np = np.asarray(n_words)
-        if n_words_np.max(initial=0) <= cap:
-            widx, wbits, n_np = np.asarray(widx), np.asarray(wbits), np.asarray(n)
-            return _expand_batch(widx, wbits, n_np, w_eff)
-        cap = min(max(cap * 4, int(n_words_np.max())), max_cap)
+        n_supers_np = np.asarray(n_supers)
+        if n_supers_np.max(initial=0) <= cap:
+            sidx, sbits, n_np = np.asarray(sidx), np.asarray(sbits), np.asarray(n)
+            return _expand_batch(sidx, sbits, n_np, w_eff)
+        cap = _grow_cap(cap, int(n_supers_np.max()), max_cap)
 
 
 def detect_batch_device(
     images: jax.Array,
     config: Optional[Config] = None,
     *,
-    max_words: int = _DEFAULT_WORD_CAP,
+    max_supers: int = _DEFAULT_SUPER_CAP,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Device-resident batched detection for on-TPU consumers (descriptors,
-    matching): returns (word_idx (B, cap), word_bits (B, cap), n (B,),
-    n_words (B,)) without any host transfer."""
+    matching): returns (super_idx (B, cap), super_bits (B, cap,
+    SUPER_SPAN), n (B,), n_supers (B,)) without any host transfer."""
     config = config or Config()
     return _detect_compact_batch(
         images, int(config.threshold), int(config.count), config.nonmax,
-        int(max_words),
+        int(max_supers),
     )

@@ -42,25 +42,35 @@ from ..geometry import NORTH as NORTH_I, EAST as EAST_I, SOUTH as SOUTH_I, \
 from . import windows
 
 TILE_H = 64
-TILE_H_MT = 32
 LANES = 128
+# Mosaic scoped-VMEM budget per kernel program.  The default (16 MB) is a
+# compiler heuristic, not the hardware bound — v5e has 128 MB of physical
+# VMEM per core, and this kernel's pipeline buffers (3 double-buffered u8
+# input blocks + packed outputs) use only a few MB of it.  MaxThreshold's
+# score-window pyramids sat within ~1 MB of the 16 MB default at 64-row
+# tiles (compiles were flaky: identical programs landed at 15.9-16.7 MB
+# across runs), so the budget is raised explicitly instead of shrinking
+# the tile to 32 rows (~11% slower for MT).
+_VMEM_LIMIT = 96 * 1024 * 1024
 # Window rows around a tile: nonmax halo (1) + circle radius (3).
 _HALO = RADIUS + 1  # 4
-# 64-row tiles (amortizes per-tile halo/DMA/grid overhead; 128 fails to
-# compile).  This fits the 16 MB scoped-VMEM budget at width 1920 because
-# the arc test is a single packed-bit plane (_packed_any_window_all) —
-# the former 16-plane boolean pyramid plus its shared reduction levels
-# forced 16-row tiles.  The exception is MaxThreshold: its dual
-# score-window pyramids put 64-row tiles right AT the VMEM edge — some
-# counts compiled and some OOMed across runs — so MT pins to 32-row
-# tiles, where every count compiles reliably.  All choices verified
-# bit-exact on v5e for every mode and count in 9..=16.  Outputs are
-# uint16 because the 8-bit min-tile is (32, 128).
+# 64-row tiles for every mode and count: big enough to amortize per-tile
+# halo/DMA/grid overhead, small enough that the whole-tile prefilter skip
+# (see _window_prefilter) keeps its granularity — 128-row tiles compile
+# under the raised VMEM budget but measure ~4% SLOWER on the benchmark
+# frame because flat regions skip at half the resolution.  VMEM notes:
+# the arc test is a single packed-bit plane (_packed_any_window_all), not
+# a 16-plane boolean pyramid, and taps are consumed streaming in
+# _tile_keypoints (keeping the 16 tap planes live alongside MaxThreshold's
+# 16 diff planes used to OOM even 32-row MT tiles for several counts).
+# All choices verified bit-exact on v5e for every mode and count in 9..=16
+# (tools/tpu_acceptance.py).  Outputs are uint16 because the 8-bit
+# min-tile is (32, 128).
 
 
 def _tile_h(mode: NonmaxMode, count: int) -> int:
-    del count
-    return TILE_H_MT if mode is NonmaxMode.MAX_THRESHOLD else TILE_H
+    del mode, count
+    return TILE_H
 
 
 def _i32c(v: int) -> int:
@@ -197,23 +207,46 @@ def _tile_keypoints(window, center, *, i, rows, row0,
     rows: (keep (tile_h, wp) bool, score (tile_h, wp) i32 — zeros in OFF
     mode)."""
     wp = window.shape[1]
-    taps = [_shifted(window, dx, dy, rows, row0) for (dx, dy) in CIRCLE]
 
     # Both polarity rings ride ONE packed bit-plane per pixel — bright arc
     # bits 0-15, dark arc bits 16-31 (tap k -> bit k) — so the wraparound
     # n-consecutive test is a handful of field-rotation/AND steps instead
-    # of a 16-plane boolean pyramid (see _packed_any_window_all).
-    # Compares run against precomputed c+-t bounds (the reference's
-    # saturating-bounds trick, fast_simd.rs:406-407, exact in i32) so each
-    # tap costs two compares, not two subtract+compares.
-    hi = center + t
-    lo = center - t
+    # of a 16-plane boolean pyramid (see _packed_any_window_all).  Taps are
+    # consumed streaming (one at a time), never kept as a 16-plane list:
+    # the score modes need center-tap differences anyway, so they derive
+    # the arc bits from d = center - p (p > c+t <=> d < -t, exact in i32)
+    # and keep only the diff planes live — keeping BOTH taps and diffs put
+    # MaxThreshold 32-row tiles over the 16 MB scoped-VMEM limit for some
+    # counts.  OFF mode compares against precomputed c+-t bounds instead
+    # (the reference's saturating-bounds trick, fast_simd.rs:406-407), two
+    # compares per tap with no subtract.
     packed = jnp.zeros((rows, wp), jnp.int32)
-    for k, p in enumerate(taps):
+    diffs = []
+    sum_light = sum_dark = None
+    if mode is NonmaxMode.OFF:
+        hi = center + t
+        lo = center - t
+    elif mode is NonmaxMode.SUM_ABSOLUTE:
+        sum_light = jnp.zeros((rows, wp), jnp.int32)
+        sum_dark = jnp.zeros((rows, wp), jnp.int32)
+    for k, (dx, dy) in enumerate(CIRCLE):
+        p = _shifted(window, dx, dy, rows, row0)
+        if mode is NonmaxMode.OFF:
+            bright = p > hi
+            dark = p < lo
+        else:
+            d = center - p
+            bright = d < -t
+            dark = d > t
+            if mode is NonmaxMode.MAX_THRESHOLD:
+                diffs.append(d)
+            else:  # SUM_ABSOLUTE: fused masked saturating accumulation
+                sum_light = sum_light + jnp.where(d > t, d - t, 0)
+                sum_dark = sum_dark + jnp.where(-d > t, -d - t, 0)
         packed = (
             packed
-            | jnp.where(p > hi, jnp.int32(1 << k), 0)
-            | jnp.where(p < lo, jnp.int32(_i32c(1 << (16 + k))), 0)
+            | jnp.where(bright, jnp.int32(1 << k), 0)
+            | jnp.where(dark, jnp.int32(_i32c(1 << (16 + k))), 0)
         )
     arc_hit = _packed_any_window_all(packed, count) != 0
 
@@ -231,17 +264,10 @@ def _tile_keypoints(window, center, *, i, rows, row0,
         return kp, jnp.zeros((tile_h, wp), jnp.int32)  # rows == tile_h
 
     if mode is NonmaxMode.MAX_THRESHOLD:
-        diffs = [center - p for p in taps]
         eh = windows.ring_max_of_window_min(diffs, count, jnp.minimum, jnp.maximum)
         el = windows.ring_min_of_window_max(diffs, count, jnp.minimum, jnp.maximum)
         score = jnp.minimum(jnp.abs(eh), jnp.abs(el))
-    else:  # SUM_ABSOLUTE
-        sum_light = jnp.zeros((rows, wp), jnp.int32)
-        sum_dark = jnp.zeros((rows, wp), jnp.int32)
-        for p in taps:
-            d = center - p
-            sum_light = sum_light + jnp.where(d > t, d - t, 0)
-            sum_dark = sum_dark + jnp.where(-d > t, -d - t, 0)
+    else:  # SUM_ABSOLUTE (sums accumulated in the tap loop above)
         score = jnp.maximum(sum_light, sum_dark)
 
     s = jnp.where(kp, score, 0)
@@ -275,8 +301,8 @@ def padded_width(w: int) -> int:
 
 
 def padded_height(h: int) -> int:
-    """Upper bound over both tile heights (64 general, 32 MaxThreshold)."""
-    return _pad_to(int(h), max(TILE_H, TILE_H_MT))
+    """Tile-padded height the padded-output entry points use."""
+    return _pad_to(int(h), TILE_H)
 
 
 def detect_dense_padded(
@@ -323,6 +349,7 @@ def detect_dense_padded(
             [jax.ShapeDtypeStruct((hp, wp), jnp.uint16)]
             + [jax.ShapeDtypeStruct((hp, wp), jnp.uint16)] * (n_outs - 1)
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=bool(interpret),
     )(img, img, img)
 
@@ -458,6 +485,7 @@ def detect_words_padded(
         ],
         out_specs=pl.BlockSpec((tile_h, _WORD_LANES), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((hp, _WORD_LANES), jnp.int32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=bool(interpret),
     )(img, img, img, jnp.asarray(_pack_weights(wp), jnp.bfloat16))
     return words

@@ -18,8 +18,9 @@ folded on the fly from n's binary decomposition —
 ``w_n[s] = g_8[s] . g_4[s+8] . g_1[s+12]`` for n = 13 — and immediately
 reduced into the accumulator.  This caps resident planes at 4 levels x 16.
 In the fused Pallas kernel these list-of-planes chains remain only in the
-MaxThreshold score path (its dual min/max pyramids are why that mode uses
-32-row tiles under the 16 MB VMEM budget); the boolean arc test now runs
+MaxThreshold score path (its dual min/max pyramids are why that kernel
+raises the Mosaic scoped-VMEM budget above the 16 MB default at 64-row
+tiles); the boolean arc test now runs
 on packed bit rings instead (fast_pallas._packed_any_window_all), and
 `ring_any_window_all` below is the XLA dense pipeline's (and the packed
 chain's differential-test) formulation.

@@ -66,6 +66,13 @@ def _load() -> Optional[ctypes.CDLL]:
                 i32p, u32p, i32, i32, i32, i64, u32p, i64p, i32,
             ]
             lib.fdf_expand_words_batch.restype = None
+            lib.fdf_expand_supers.argtypes = [i32p, u32p, i32, i32, i32,
+                                              i64, u32p]
+            lib.fdf_expand_supers.restype = i64
+            lib.fdf_expand_supers_batch.argtypes = [
+                i32p, u32p, i32, i32, i32, i32, i64, u32p, i64p, i32,
+            ]
+            lib.fdf_expand_supers_batch.restype = None
             _lib = lib
     return _lib
 
@@ -112,6 +119,54 @@ def expand_words_batch(
         counts = np.empty((b,), np.int64)
         lib.fdf_expand_words_batch(
             widx.reshape(-1), wbits.reshape(-1), b, mw, int(width),
+            cap, out.reshape(-1), counts, int(threads),
+        )
+        if (counts >= 0).all():
+            return [out[i, : counts[i]].copy() for i in range(b)]
+        cap *= 4
+
+
+def expand_supers(
+    super_idx: np.ndarray, super_bits: np.ndarray, width: int,
+    n_points_hint: int = 0,
+) -> np.ndarray:
+    """Native expansion of one frame's superword encoding ((cap_s,) idx +
+    (cap_s, span) bits; ops/compact.py) -> (N, 2) uint32 (x, y), row-major;
+    bit-identical to ops.compact.expand_supers_host."""
+    lib = _load()
+    assert lib is not None, "native runtime unavailable — check available()"
+    sidx = np.ascontiguousarray(super_idx, np.int32)
+    sbits = np.ascontiguousarray(super_bits, np.uint32)
+    ms, span = sbits.shape
+    cap = max(int(n_points_hint), 32 * 64)
+    while True:
+        out = np.empty((cap, 2), np.uint32)
+        n = lib.fdf_expand_supers(sidx, sbits.reshape(-1), ms, span,
+                                  int(width), cap, out.reshape(-1))
+        if n >= 0:
+            return out[:n].copy()
+        cap *= 4
+
+
+def expand_supers_batch(
+    super_idx: np.ndarray, super_bits: np.ndarray, width: int,
+    per_frame_cap: int, threads: int = 0,
+) -> List[np.ndarray]:
+    """Threaded expansion of a (B, cap_s) + (B, cap_s, span) superword
+    batch -> list of per-frame (N_i, 2) uint32 arrays."""
+    lib = _load()
+    assert lib is not None, "native runtime unavailable — check available()"
+    sidx = np.ascontiguousarray(super_idx, np.int32)
+    sbits = np.ascontiguousarray(super_bits, np.uint32)
+    b, ms = sidx.shape
+    span = sbits.shape[-1]
+    cap = int(per_frame_cap)
+    threads = threads or min(b, os.cpu_count() or 1)
+    while True:
+        out = np.empty((b, cap, 2), np.uint32)
+        counts = np.empty((b,), np.int64)
+        lib.fdf_expand_supers_batch(
+            sidx.reshape(-1), sbits.reshape(-1), b, ms, span, int(width),
             cap, out.reshape(-1), counts, int(threads),
         )
         if (counts >= 0).all():

@@ -24,7 +24,7 @@ from typing import Deque, Iterator, List, Optional, Tuple
 import numpy as np
 
 from .api import (
-    _DEFAULT_WORD_CAP,
+    _DEFAULT_SUPER_CAP,
     _detect_compact_batch_packed,
     effective_width,
     unpack_batch_packed,
@@ -36,15 +36,15 @@ class DetectorPipeline:
     """Keeps up to ``depth`` batches in flight on the device."""
 
     def __init__(self, config: Optional[Config] = None, *, depth: int = 2,
-                 max_words: int = _DEFAULT_WORD_CAP):
+                 max_supers: int = _DEFAULT_SUPER_CAP):
         self.config = config or Config()
         self.depth = int(depth)
-        self.max_words = int(max_words)
+        self.max_supers = int(max_supers)
         self._inflight: Deque[Tuple[object, int]] = deque()
 
     def _args(self):
         c = self.config
-        return (int(c.threshold), int(c.count), c.nonmax, self.max_words)
+        return (int(c.threshold), int(c.count), c.nonmax, self.max_supers)
 
     def submit(self, batch: np.ndarray) -> None:
         """Enqueue a (B, H, W) uint8 batch (non-blocking dispatch)."""
@@ -60,10 +60,10 @@ class DetectorPipeline:
 
     def _decode(self, packed, width) -> List[np.ndarray]:
         host = np.asarray(packed)
-        if host[:, 1].max(initial=0) > self.max_words:
+        if host[:, 1].max(initial=0) > self.max_supers:
             raise OverflowError(
-                "word cap exceeded in pipeline; raise max_words")
-        return unpack_batch_packed(host, self.max_words,
+                "superword cap exceeded in pipeline; raise max_supers")
+        return unpack_batch_packed(host, self.max_supers,
                                    effective_width(width))
 
     def ready(self) -> Iterator[List[np.ndarray]]:

@@ -73,9 +73,9 @@ def test_dense_emission_order_row_major(reference_image):
     assert keys == sorted(keys)
 
 
-def test_word_cap_overflow_retry(reference_image):
+def test_super_cap_overflow_retry(reference_image):
     """A tiny initial compaction cap must not drop keypoints (SURVEY.md §7 iv)."""
     full = as_tuples(detect_arrays(reference_image, Config(16, 9, NonmaxMode.OFF)))
     capped = as_tuples(
-        detect_arrays(reference_image, Config(16, 9, NonmaxMode.OFF), max_words=16))
+        detect_arrays(reference_image, Config(16, 9, NonmaxMode.OFF), max_supers=4))
     assert capped == full

@@ -103,17 +103,18 @@ def test_packed_words_kernel_matches_dense_pack(rng, cfg):
     assert int(n) == int(rn) == int(ref_n) and int(n_words) == int(rn_words)
 
 
-def test_padded_dims_and_word_cap_bound():
-    """The pallas-branch word-cap bound (api._max_word_cap) must be
+def test_padded_dims_and_super_cap_bound():
+    """The pallas-branch superword-cap bound (api._max_super_cap) must be
     computable and cover the padded grid — this path only runs on TPU in
     production, so exercise it here with the backend check mocked."""
     from unittest import mock
 
     from feature_detector_fast_tpu import api
+    from feature_detector_fast_tpu.ops import compact
 
     hp, wp = fast_pallas.padded_height(1080), fast_pallas.padded_width(1920)
-    assert hp % fast_pallas.TILE_H == 0 and hp % fast_pallas.TILE_H_MT == 0
+    assert hp % fast_pallas.TILE_H == 0
     assert wp % fast_pallas.LANES == 0
     with mock.patch.object(api, "_use_pallas", lambda: True):
-        cap = api._max_word_cap(1080, 1920)
-    assert cap >= hp * wp // 32
+        cap = api._max_super_cap(1080, 1920)
+    assert cap >= hp * wp // 32 // compact.SUPER_SPAN

@@ -11,7 +11,7 @@ def test_pipeline_matches_oneshot(rng):
     cfg = Config(16, 9, NonmaxMode.MAX_THRESHOLD)
     batches = [rng.integers(0, 256, (2, 40, 64), np.uint8) for _ in range(4)]
 
-    pipe = DetectorPipeline(cfg, depth=2, max_words=128)
+    pipe = DetectorPipeline(cfg, depth=2, max_supers=16)
     got = []
     for b in batches:
         pipe.submit(b)

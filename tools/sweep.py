@@ -44,7 +44,7 @@ def main() -> int:
 
     for count in range(9, 17):
         for threshold in (16, 32):
-            args = (threshold, count, NonmaxMode.SUM_ABSOLUTE, 1 << 14)
+            args = (threshold, count, NonmaxMode.SUM_ABSOLUTE, 1 << 12)
             out = _detect_compact(img, *args)
             n = int(out[2])
             rounds = 10
