@@ -85,6 +85,7 @@ def bench_config(batch_np, config, cap) -> tuple:
         _detect_compact_batch,
         _detect_compact_batch_packed,
         effective_width,
+        tight_cap,
         unpack_batch_packed,
     )
 
@@ -92,7 +93,8 @@ def bench_config(batch_np, config, cap) -> tuple:
 
     # Warmup: compile + one full round including transfers + host decode,
     # growing the cap if the frame overflows it; then right-size the cap
-    # for the timed loops (pow2, >= 25% headroom over the true word count).
+    # for the timed loops (api.tight_cap: ~12% headroom over the true
+    # superword count, 512-multiple).
     dev_imgs = jax.device_put(batch_np)
     while True:
         args = (int(config.threshold), int(config.count), config.nonmax, cap)
@@ -103,7 +105,7 @@ def bench_config(batch_np, config, cap) -> tuple:
         cap = max(cap * 4, 1 << (n_supers - 1).bit_length())
     kps = unpack_batch_packed(packed, cap, width)
     n_kp = len(kps[0])
-    tight = max(1024, -(-(n_supers + n_supers // 8) // 512) * 512)
+    tight = tight_cap(n_supers, floor=1024)
     if tight != cap:
         cap = tight
         args = (int(config.threshold), int(config.count), config.nonmax, cap)

@@ -51,12 +51,18 @@ def _max_super_cap(h: int, w: int) -> int:
     return -(-n_words // compact.SUPER_SPAN)
 
 
+def tight_cap(n_supers: int, floor: int = 512) -> int:
+    """Right-sized compaction cap for a known true superword count: ~12%
+    headroom, rounded to a 512 multiple (bounds the number of distinct
+    compiled programs).  Shared by the overflow-retry growth below and the
+    benchmarks, so benches measure the same cap regime production uses."""
+    return max(int(floor), -(-(n_supers + n_supers // 8) // 512) * 512)
+
+
 def _grow_cap(cap: int, n_supers: int, max_cap: int) -> int:
-    """Overflow-retry cap growth: at least double, at least ~12% headroom
-    over the true superword count, rounded to a 512 multiple (bounds the
-    number of distinct compiled programs), clamped to the grid bound."""
-    new = max(cap * 2, n_supers + n_supers // 8)
-    return min(-(-new // 512) * 512, max_cap)
+    """Overflow-retry cap growth: at least double, at least tight_cap
+    headroom over the true superword count, clamped to the grid bound."""
+    return min(max(-(-cap * 2 // 512) * 512, tight_cap(n_supers)), max_cap)
 
 
 def effective_width(w: int) -> int:

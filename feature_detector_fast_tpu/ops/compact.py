@@ -108,9 +108,9 @@ def _select_nonzero_supers(
     """Select the (ascending) indices + word-bit rows of nonzero
     SUPER_SPAN-word superwords, capped.
 
-    Returns (super_idx (max_supers,) int32 padded with n_supers,
-    super_bits (max_supers, SUPER_SPAN) int32 padded with 0,
-    n_supers int32 true nonzero-superword count)."""
+    Returns (super_idx (max_supers,) int32 padded with the grid's total
+    superword count ns, super_bits (max_supers, SUPER_SPAN) int32 padded
+    with 0, n_supers int32 true nonzero-superword count)."""
     nw = bits.shape[0]
     ns = -(-nw // SUPER_SPAN)
     pad = ns * SUPER_SPAN - nw

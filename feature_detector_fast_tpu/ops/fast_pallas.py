@@ -68,11 +68,6 @@ _HALO = RADIUS + 1  # 4
 # min-tile is (32, 128).
 
 
-def _tile_h(mode: NonmaxMode, count: int) -> int:
-    del mode, count
-    return TILE_H
-
-
 def _i32c(v: int) -> int:
     """Python int -> int32 bit pattern (wrapping), for mask constants."""
     import numpy as np
@@ -125,15 +120,10 @@ def _roll_cols(plane: jax.Array, dx: int) -> jax.Array:
     return pltpu.roll(plane, (-dx) % wp, axis=1)
 
 
-def _shifted(plane: jax.Array, dx: int, dy: int, rows: int, row0: int) -> jax.Array:
-    """plane[(row0 + dy) : (row0 + dy + rows), :] with columns rolled by
-    -dx: out[r, c] = plane[row0 + dy + r, c + dx] (mod lane wrap)."""
-    sl = jax.lax.slice_in_dim(plane, row0 + dy, row0 + dy + rows, axis=0)
-    return _roll_cols(sl, dx)
-
-
 class _RolledWindow:
-    """Circle-tap factory that shares lane-rolls across taps.
+    """Circle-tap factory: tap(dx, dy) is window[(row0+dy):(row0+dy+rows)]
+    with columns rolled so out[r, c] = window[row0+dy+r, c+dx] (mod lane
+    wrap), sharing lane-rolls across taps.
 
     The 16 circle taps use only 6 distinct nonzero column shifts
     (dx in +-1, +-2, +-3, each 2-3 times); rolling the full window once
@@ -343,7 +333,7 @@ def detect_dense_padded(
     as flat indices over ``padded_width(w)``."""
     nonmax = NonmaxMode(nonmax)
     h, w = image.shape
-    tile_h = _tile_h(nonmax, count)
+    tile_h = TILE_H
     hp, wp = _pad_to(h, tile_h), _pad_to(w, LANES)
     img = jnp.pad(image, ((0, hp - h), (0, wp - w)))
     n_tiles = hp // tile_h
@@ -484,7 +474,7 @@ def detect_words_padded(
     separate repack pass) never touches HBM."""
     nonmax = NonmaxMode(nonmax)
     h, w = image.shape
-    tile_h = _tile_h(nonmax, count)
+    tile_h = TILE_H
     hp, wp = _pad_to(h, tile_h), _pad_to(w, LANES)
     assert wp // 32 <= _WORD_LANES, "use detect_dense_padded + pack for wide images"
     img = jnp.pad(image, ((0, hp - h), (0, wp - w)))

@@ -41,7 +41,7 @@ def main() -> int:
 
     from bench import build_1080p_frame
     from feature_detector_fast_tpu import NonmaxMode
-    from feature_detector_fast_tpu.api import _detect_compact_batch
+    from feature_detector_fast_tpu.api import _detect_compact_batch, tight_cap
 
     mode = NonmaxMode(sys.argv[1]) if len(sys.argv) > 1 else NonmaxMode.OFF
     base = build_1080p_frame()  # realistic corner statistics
@@ -67,7 +67,7 @@ def main() -> int:
             if n_sup <= cap:
                 break
             cap = max(cap * 4, n_sup)
-        cap = max(512, -(-(n_sup + n_sup // 8) // 512) * 512)
+        cap = tight_cap(n_sup)
         args = (16, 9, mode, cap)
         n_kp = int(np.asarray(out[2])[0])
 
