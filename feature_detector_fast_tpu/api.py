@@ -115,6 +115,81 @@ def _detect_compact(image, threshold: int, count: int, nonmax: NonmaxMode,
     return compact.compact_mask_supers(mask, max_supers)
 
 
+#: Score upper bound across modes: MaxThreshold <= 255 (a u8 threshold);
+#: SumAbsolute <= 16 * 255.  The bisection below runs over [0, _SCORE_MAX].
+_SCORE_MAX = 4096
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def _detect_strongest_compact(image, threshold: int, count: int,
+                              nonmax: NonmaxMode, k: int, max_supers: int):
+    """Detect, then keep only the ~k HIGHEST-SCORING keypoints — without
+    any full-plane sort (a 2M-element top_k costs ~19 ms on TPU).
+
+    TPU-native selection: bisect the score threshold T on device — each of
+    the 13 static steps is one plane compare + popcount reduce — to the
+    LARGEST T with count(score >= T) >= min(k, total); the surviving mask
+    then rides the normal superword compaction.  Deterministic, fixed
+    compute, row-major output.  Returns (super_idx, super_bits, n_points,
+    n_supers, t_star); n_points >= k only by score ties at T*.
+    """
+    mask, score = _detect_dense_best(image, threshold, count, nonmax)
+    mask = mask.astype(bool)
+    s = jnp.where(mask, score.astype(jnp.int32), -1)
+    total = jnp.sum(mask, dtype=jnp.int32)
+    want = jnp.minimum(jnp.int32(int(k)), total)
+
+    # Invariant: count(s >= lo) >= want, count(s >= hi) < want.
+    lo, hi = jnp.int32(0), jnp.int32(_SCORE_MAX + 1)
+    for _ in range(13):  # 2**13 > _SCORE_MAX + 1
+        mid = (lo + hi) // 2
+        c = jnp.sum(s >= mid, dtype=jnp.int32)
+        ok = c >= want
+        lo = jnp.where(ok, mid, lo)
+        hi = jnp.where(ok, hi, mid)
+    keep = mask & (s >= lo)
+    sidx, sbits, n, n_supers = compact.compact_mask_supers(keep, max_supers)
+    return sidx, sbits, n, n_supers, lo
+
+
+def detect_strongest_arrays(
+    image: ImageLike,
+    config: Optional[Config] = None,
+    *,
+    k: int,
+    max_supers: Optional[int] = None,
+) -> Tuple[np.ndarray, int]:
+    """Detect and keep the ~k strongest keypoints (requires a score mode).
+
+    Returns (xy (N, 2) uint32 in row-major order, score threshold used).
+    N >= min(k, total detected): the cut is the largest score threshold
+    whose survivor count still reaches k, so N exceeds k only when
+    several keypoints tie exactly at that threshold (the reference has no
+    per-keypoint budget API; this mirrors OpenCV-style retainBest without
+    the host-side sort)."""
+    config = config or Config()
+    if config.nonmax is NonmaxMode.OFF:
+        raise ValueError("detect_strongest requires a score mode "
+                         "(MAX_THRESHOLD or SUM_ABSOLUTE)")
+    img = _as_device_image(image, 2)
+    h, w = img.shape
+    cap = int(max_supers or _DEFAULT_SUPER_CAP)
+    max_cap = _max_super_cap(h, w)
+    while True:
+        sidx, sbits, n, n_supers, t_star = _detect_strongest_compact(
+            img, int(config.threshold), int(config.count), config.nonmax,
+            int(k), cap,
+        )
+        n_supers = int(n_supers)
+        if n_supers <= cap:
+            xy = _expand_batch(
+                np.asarray(sidx)[None], np.asarray(sbits)[None],
+                np.asarray([int(n)]), int(w),
+            )[0]
+            return xy, int(t_star)
+        cap = _grow_cap(cap, n_supers, max_cap)
+
+
 def _as_device_image(image: ImageLike, expect_ndim: int) -> jax.Array:
     img = jnp.asarray(image)
     if img.dtype != jnp.uint8:
