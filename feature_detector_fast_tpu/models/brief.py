@@ -144,14 +144,15 @@ class Keypoints(NamedTuple):
     valid: jax.Array  # (K,) bool
 
 
-def select_topk(mask: jax.Array, score: jax.Array, k: int) -> Keypoints:
-    """Deterministic top-K keypoints by (score, then row-major position).
+#: Pixels per selection group in the two-level top-K (see select_topk).
+_SEL_GROUP = 256
 
-    The selection key packs (clipped score, reversed index) into int31 —
-    ties break toward smaller row-major index, keeping selection
-    deterministic across backends.  The index field is sized to the
-    image, and the score clip uses whatever bits remain (1023 at 1080p).
-    """
+
+def _topk_key(mask: jax.Array, score: jax.Array) -> Tuple[jax.Array, int]:
+    """Packed (clipped score, reversed row-major index) int31 selection key
+    per pixel, -1 where masked — ties break toward smaller index, keeping
+    selection deterministic across backends.  The index field is sized to
+    the image; the score clip uses whatever bits remain (1023 at 1080p)."""
     h, w = mask.shape
     idx_bits = max(1, (h * w - 1).bit_length())
     if idx_bits > 29:
@@ -161,13 +162,57 @@ def select_topk(mask: jax.Array, score: jax.Array, k: int) -> Keypoints:
     flat_score = jnp.minimum(score.reshape(-1).astype(jnp.int32), max_score)
     idx = jnp.arange(h * w, dtype=jnp.int32)
     key = jnp.where(flat_mask, (flat_score << idx_bits) | (h * w - 1 - idx), -1)
-    topv, topi = jax.lax.top_k(key, k)
+    return key, idx_bits
+
+
+def _decode_topk(topv: jax.Array, idx_bits: int, h: int, w: int) -> Keypoints:
     valid = topv >= 0
-    sel = jnp.where(valid, topi, 0)
+    sel = jnp.where(valid, h * w - 1 - (topv & ((1 << idx_bits) - 1)), 0)
     x = (sel % w).astype(jnp.int32)
     y = (sel // w).astype(jnp.int32)
-    s = jnp.where(valid, flat_score[sel], 0)
+    s = jnp.where(valid, topv >> idx_bits, 0)
     return Keypoints(jnp.stack([x, y], axis=-1), s, valid)
+
+
+def select_topk(mask: jax.Array, score: jax.Array, k: int) -> Keypoints:
+    """Deterministic top-K keypoints by (score, then row-major position).
+
+    Two-level selection instead of one top_k over all H*W keys (which
+    costs ~2 ms/frame at 1080p on TPU — a near-full-image partial sort):
+    group pixels 256 per superword, take each group's max key (a cheap
+    lane reduce), top_k the ~H*W/256 group maxima, then top_k the
+    selected groups' gathered key rows.  Provably identical to the flat
+    top_k: a global top-k key lives in a group whose max ranks top-k
+    (each better-ranked group contributes at least one better key)."""
+    h, w = mask.shape
+    key, idx_bits = _topk_key(mask, score)
+    n = h * w
+    ns = -(-n // _SEL_GROUP)
+    pad = ns * _SEL_GROUP - n
+    if pad:
+        key = jnp.concatenate([key, jnp.full((pad,), -1, jnp.int32)])
+    rows = key.reshape(ns, _SEL_GROUP)
+    k_s = min(int(k), ns)
+    _, si = jax.lax.top_k(rows.max(axis=1), k_s)
+    cand = rows[si].reshape(-1)  # (k_s * _SEL_GROUP,)
+    k2 = min(int(k), cand.shape[0])
+    topv, _ = jax.lax.top_k(cand, k2)
+    if k2 < int(k):
+        topv = jnp.concatenate(
+            [topv, jnp.full((int(k) - k2,), -1, jnp.int32)])
+    return _decode_topk(topv, idx_bits, h, w)
+
+
+def _select_topk_flat(mask: jax.Array, score: jax.Array, k: int) -> Keypoints:
+    """Reference implementation: one top_k over every pixel's key.  Kept as
+    the differential oracle for select_topk."""
+    h, w = mask.shape
+    key, idx_bits = _topk_key(mask, score)
+    topv, _ = jax.lax.top_k(key, min(int(k), h * w))
+    if int(k) > h * w:
+        topv = jnp.concatenate(
+            [topv, jnp.full((int(k) - h * w,), -1, jnp.int32)])
+    return _decode_topk(topv, idx_bits, h, w)
 
 
 @functools.partial(jax.jit, static_argnums=())
@@ -182,6 +227,10 @@ def describe(image: jax.Array, kps: Keypoints) -> Tuple[jax.Array, jax.Array]:
 
     pat = jnp.asarray(PATTERN)  # (BITS, 2, 2)
     off_flat = pat[..., 1] * w + pat[..., 0]  # (BITS, 2)
+    # Both pattern endpoints ride ONE (2*BITS,) offset vector — a trailing
+    # dim of 2 would pad to 128 lanes under TPU tiled layouts (64x memory
+    # on the (K, BITS, 2) gather; 28 GB at serving batch sizes).
+    off_cat = jnp.concatenate([off_flat[:, 0], off_flat[:, 1]])  # (2*BITS,)
 
     base = kps.xy[:, 1] * w + kps.xy[:, 0]  # (K,)
     inb = (
@@ -192,13 +241,35 @@ def describe(image: jax.Array, kps: Keypoints) -> Tuple[jax.Array, jax.Array]:
         & (kps.xy[:, 1] < h - BORDER)
     )
     safe_base = jnp.where(inb, base, 0)
-    sample_idx = safe_base[:, None, None] + off_flat[None, :, :]  # (K, BITS, 2)
+    sample_idx = safe_base[:, None] + off_cat[None, :]  # (K, 2*BITS)
     samples = blur[jnp.clip(sample_idx, 0, h * w - 1)]
-    bits = samples[..., 0] < samples[..., 1]  # (K, BITS)
+    bits = samples[:, :BITS] < samples[:, BITS:]  # (K, BITS)
 
     shifts = jnp.arange(32, dtype=jnp.uint32)
     grouped = bits.reshape(-1, WORDS, 32).astype(jnp.uint32)
     desc = (grouped << shifts[None, None, :]).sum(axis=-1, dtype=jnp.uint32)
+    return desc, inb
+
+
+def describe_dense(
+    image: jax.Array, kps: Keypoints, interpret: bool = False
+) -> Tuple[jax.Array, jax.Array]:
+    """BRIEF-256 via the dense Pallas kernel (ops/brief_pallas.py):
+    every-pixel descriptor words in VMEM, then a K x WORDS gather.
+    Bit-identical to :func:`describe` at every valid slot (invalid slots
+    carry garbage in both paths and are masked by the validity bit)."""
+    from ..ops import brief_pallas
+
+    h, w = image.shape
+    inb = (
+        kps.valid
+        & (kps.xy[:, 0] >= BORDER)
+        & (kps.xy[:, 0] < w - BORDER)
+        & (kps.xy[:, 1] >= BORDER)
+        & (kps.xy[:, 1] < h - BORDER)
+    )
+    planes = brief_pallas.describe_words_padded(image, interpret)
+    desc = brief_pallas.gather_descriptors(planes, kps.xy, inb)
     return desc, inb
 
 
@@ -216,7 +287,11 @@ def describe_oriented(
 
     pats = jnp.asarray(ROTATED_PATTERNS)  # (B, BITS, 2, 2)
     off_flat = pats[..., 1] * w + pats[..., 0]  # (B, BITS, 2)
-    off_k = off_flat[bins]  # (K, BITS, 2)
+    # Endpoint-major (B, 2*BITS) offsets, then one row gather per keypoint
+    # — keeps every gather output free of tiny trailing dims (see
+    # describe()).
+    off_cat = jnp.concatenate([off_flat[..., 0], off_flat[..., 1]], axis=-1)
+    off_k = off_cat[bins]  # (K, 2*BITS)
 
     base = kps.xy[:, 1] * w + kps.xy[:, 0]
     inb = (
@@ -227,9 +302,9 @@ def describe_oriented(
         & (kps.xy[:, 1] < h - BORDER)
     )
     safe_base = jnp.where(inb, base, 0)
-    sample_idx = safe_base[:, None, None] + off_k
+    sample_idx = safe_base[:, None] + off_k  # (K, 2*BITS)
     samples = blur[jnp.clip(sample_idx, 0, h * w - 1)]
-    bits = samples[..., 0] < samples[..., 1]
+    bits = samples[:, :BITS] < samples[:, BITS:]
 
     shifts = jnp.arange(32, dtype=jnp.uint32)
     grouped = bits.reshape(-1, WORDS, 32).astype(jnp.uint32)
@@ -252,8 +327,15 @@ def detect_and_describe(
 
     mask, score = _detect_dense_best(image, threshold, count, NonmaxMode.SUM_ABSOLUTE)
     kps = select_topk(mask, score, k)
-    fn = describe_oriented if oriented else describe
-    desc, dvalid = fn.__wrapped__(image, kps)
+    if oriented:
+        desc, dvalid = describe_oriented.__wrapped__(image, kps)
+    elif jax.default_backend() == "tpu":
+        # Dense Pallas description: compare shifted blurred planes on-chip
+        # and gather only K*WORDS scalars — the sparse K*512-sample gather
+        # below costs ~7.5 ms/frame at 1080p on TPU.
+        desc, dvalid = describe_dense(image, kps)
+    else:
+        desc, dvalid = describe.__wrapped__(image, kps)
     return kps, desc, dvalid
 
 

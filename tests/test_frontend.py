@@ -22,6 +22,20 @@ def test_select_topk_deterministic_order(rng):
     assert got == want
 
 
+def test_select_topk_two_level_matches_flat(rng):
+    """The grouped two-level selection must be bit-identical to one top_k
+    over every pixel key, across densities, shapes, and k values."""
+    for _ in range(12):
+        h, w = int(rng.integers(8, 90)), int(rng.integers(8, 130))
+        mask = rng.random((h, w)) < float(rng.choice([0.0, 0.002, 0.05, 0.5]))
+        score = rng.integers(0, 4000, (h, w)).astype(np.int32)
+        for k in (1, 7, 64, 1000):
+            a = brief.select_topk(mask, score, k)
+            b = brief._select_topk_flat(mask, score, k)
+            for fa, fb in zip(a, b):
+                np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
 def test_select_topk_underfull(rng):
     mask = np.zeros((32, 32), bool)
     mask[10, 10] = True
