@@ -229,14 +229,26 @@ def _tile_keypoints(rw, center, *, i, rows, row0,
     # n-consecutive test is a handful of field-rotation/AND steps instead
     # of a 16-plane boolean pyramid (see _packed_any_window_all).  Taps are
     # consumed streaming (one at a time), never kept as a 16-plane list:
-    # the score modes need center-tap differences anyway, so they derive
-    # the arc bits from d = center - p (p > c+t <=> d < -t, exact in i32)
-    # and keep only the diff planes live — keeping BOTH taps and diffs put
+    # SUM_ABSOLUTE needs center-tap differences anyway, so it derives the
+    # arc bits from d = center - p (p > c+t <=> d < -t, exact in i32) and
+    # keeps only the diff planes live — keeping BOTH taps and diffs put
     # MaxThreshold 32-row tiles over the 16 MB scoped-VMEM limit for some
     # counts.  OFF mode compares against precomputed c+-t bounds instead
     # (the reference's saturating-bounds trick, fast_simd.rs:406-407), two
     # compares per tap with no subtract.
-    packed = jnp.zeros((rows, wp), jnp.int32)
+    #
+    # MAX_THRESHOLD skips the packed arc test ENTIRELY: its score pyramids
+    # already decide candidacy exactly.  A dark arc of `count` consecutive
+    # taps (p < c-t, i.e. d > t strictly) exists iff some window's min diff
+    # exceeds t — i.e. eh = max-of-window-mins > t; a bright arc (d < -t)
+    # exists iff some window's max diff is below -t — el =
+    # min-of-window-maxes < -t.  So arc_hit == (eh > t) | (el < -t),
+    # bit-identical to _packed_any_window_all (differential tests +
+    # tools/tpu_acceptance.py), and the MT tap loop degenerates to 16
+    # subtracts — no compares, no bit packing, no run-doubling chain.
+    packed = None
+    if mode is not NonmaxMode.MAX_THRESHOLD:
+        packed = jnp.zeros((rows, wp), jnp.int32)
     diffs = []
     sum_light = sum_dark = None
     if mode is NonmaxMode.OFF:
@@ -247,24 +259,30 @@ def _tile_keypoints(rw, center, *, i, rows, row0,
         sum_dark = jnp.zeros((rows, wp), jnp.int32)
     for k, (dx, dy) in enumerate(CIRCLE):
         p = rw.tap(dx, dy, rows, row0)
+        if mode is NonmaxMode.MAX_THRESHOLD:
+            diffs.append(center - p)
+            continue
         if mode is NonmaxMode.OFF:
             bright = p > hi
             dark = p < lo
-        else:
+        else:  # SUM_ABSOLUTE: fused masked saturating accumulation
             d = center - p
             bright = d < -t
             dark = d > t
-            if mode is NonmaxMode.MAX_THRESHOLD:
-                diffs.append(d)
-            else:  # SUM_ABSOLUTE: fused masked saturating accumulation
-                sum_light = sum_light + jnp.where(d > t, d - t, 0)
-                sum_dark = sum_dark + jnp.where(-d > t, -d - t, 0)
+            sum_light = sum_light + jnp.where(d > t, d - t, 0)
+            sum_dark = sum_dark + jnp.where(-d > t, -d - t, 0)
         packed = (
             packed
             | jnp.where(bright, jnp.int32(1 << k), 0)
             | jnp.where(dark, jnp.int32(_i32c(1 << (16 + k))), 0)
         )
-    arc_hit = _packed_any_window_all(packed, count) != 0
+    eh = el = None
+    if mode is NonmaxMode.MAX_THRESHOLD:
+        eh = windows.ring_max_of_window_min(diffs, count, jnp.minimum, jnp.maximum)
+        el = windows.ring_min_of_window_max(diffs, count, jnp.minimum, jnp.maximum)
+        arc_hit = (eh > t) | (el < -t)
+    else:
+        arc_hit = _packed_any_window_all(packed, count) != 0
 
     # Interior mask: global x in [3, W-4], y in [3, H-4].
     off = row0 - _HALO  # tile row of the first computed row (0 or -1)
@@ -280,8 +298,6 @@ def _tile_keypoints(rw, center, *, i, rows, row0,
         return kp, jnp.zeros((tile_h, wp), jnp.int32)  # rows == tile_h
 
     if mode is NonmaxMode.MAX_THRESHOLD:
-        eh = windows.ring_max_of_window_min(diffs, count, jnp.minimum, jnp.maximum)
-        el = windows.ring_min_of_window_max(diffs, count, jnp.minimum, jnp.maximum)
         score = jnp.minimum(jnp.abs(eh), jnp.abs(el))
     else:  # SUM_ABSOLUTE (sums accumulated in the tap loop above)
         score = jnp.maximum(sum_light, sum_dark)
