@@ -68,64 +68,89 @@ def _make_rotated_patterns() -> np.ndarray:
 ROTATED_PATTERNS: np.ndarray = _make_rotated_patterns()
 
 
+def _boxsum_chain(x: jax.Array, r: int) -> jax.Array:
+    """(2r+1)-square box sum, zero-padded at borders, EXACT integer math.
+
+    Doubling-chain shifted adds instead of cumsum: window sums of length
+    2L come from two length-L sums, and (2r+1) is folded from its binary
+    decomposition — ~2 log2(r) plane adds per axis.  (jnp.cumsum lowers to
+    a multi-pass scan on TPU that costs milliseconds per 1080p plane; the
+    old cumsum formulation also accumulated f32 prefix sums far beyond the
+    24-bit mantissa, so large-image moments silently lost integer
+    exactness.  i32 shifted adds are exact and ~10x faster.)"""
+    n = 2 * r + 1
+
+    def box1d(v, axis):
+        m = v.shape[axis]
+        pad_shape = list(v.shape)
+        pad_shape[axis] = r
+        z = jnp.zeros(pad_shape, v.dtype)
+        vp = jnp.concatenate([z, v, z], axis=axis)  # m + 2r
+        # s[L][j] = sum vp[j .. j+L-1]
+        levels = {1: vp}
+        L = 1
+        while 2 * L <= n:
+            prev = levels[L]
+            span = prev.shape[axis] - L
+            levels[2 * L] = (
+                jax.lax.slice_in_dim(prev, 0, span, axis=axis)
+                + jax.lax.slice_in_dim(prev, L, L + span, axis=axis)
+            )
+            L *= 2
+        acc = None
+        off = 0
+        for part in sorted((p for p in levels if n & p), reverse=True):
+            term = jax.lax.slice_in_dim(levels[part], off, off + m, axis=axis)
+            acc = term if acc is None else acc + term
+            off += part
+        return acc
+
+    return box1d(box1d(x, 0), 1)
+
+
 def orientation_bins(image: jax.Array, kps: "Keypoints") -> jax.Array:
     """Intensity-centroid orientation per keypoint, quantized to
     N_ANGLE_BINS (ORB's moment method, computed densely).
 
     The patch moments m10 = sum I(x,y)(x - xc) and m01 over a
-    (2R+1)-square patch come from two dense box filters (of I*x, I*y, I),
-    sampled at the keypoints — no per-keypoint patch gathers.
+    (2R+1)-square patch come from three dense integer box filters (of I*x,
+    I*y, I), sampled at the keypoints — no per-keypoint patch gathers.
+    All moment arithmetic is exact i32 (peak magnitude 255*1919*961 <
+    2^31; the final m10/m01 are < 2^24 so their f32 casts are exact too).
     """
     h, w = image.shape
-    img = image.astype(jnp.float32)
-    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
-    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
-
-    def boxsum(x, r):
-        """(2r+1)-square box sum, zero-padded at borders (border keypoints
-        are invalid anyway): out[i] = sum x[i-r .. i+r] per axis."""
-
-        def box1d(v, axis):
-            n = v.shape[axis]
-            pad_shape = list(v.shape)
-            pad_shape[axis] = r
-            z = jnp.zeros(pad_shape, v.dtype)
-            vp = jnp.concatenate([z, v, z], axis=axis)  # n + 2r
-            c = jnp.cumsum(vp, axis=axis)
-            zero1 = jnp.zeros_like(jax.lax.slice_in_dim(c, 0, 1, axis=axis))
-            e = jnp.concatenate([zero1, c], axis=axis)  # exclusive prefix
-            hi = jax.lax.slice_in_dim(e, 2 * r + 1, 2 * r + 1 + n, axis=axis)
-            lo = jax.lax.slice_in_dim(e, 0, n, axis=axis)
-            return hi - lo
-
-        return box1d(box1d(x, 0), 1)
+    img = image.astype(jnp.int32)
+    xs = jnp.arange(w, dtype=jnp.int32)[None, :]
+    ys = jnp.arange(h, dtype=jnp.int32)[:, None]
 
     r = PATCH_R
-    s_i = boxsum(img, r)
-    s_ix = boxsum(img * xs, r)
-    s_iy = boxsum(img * ys, r)
+    s_i = _boxsum_chain(img, r)
+    s_ix = _boxsum_chain(img * xs, r)
+    s_iy = _boxsum_chain(img * ys, r)
 
     kx = kps.xy[:, 0]
     ky = kps.xy[:, 1]
     flat = lambda m: m.reshape(-1)[jnp.clip(ky * w + kx, 0, h * w - 1)]
-    m10 = flat(s_ix) - kx.astype(jnp.float32) * flat(s_i)
-    m01 = flat(s_iy) - ky.astype(jnp.float32) * flat(s_i)
+    m10 = (flat(s_ix) - kx * flat(s_i)).astype(jnp.float32)
+    m01 = (flat(s_iy) - ky * flat(s_i)).astype(jnp.float32)
     angle = jnp.arctan2(m01, m10)  # [-pi, pi]
     bins = jnp.round(angle / (2.0 * jnp.pi) * N_ANGLE_BINS).astype(jnp.int32)
     return jnp.mod(bins, N_ANGLE_BINS)
 
 
 def box_blur5(image: jax.Array) -> jax.Array:
-    """5x5 box sum via separable cumulative sums (dense, fused).  Returns
-    int32 sums (not divided — BRIEF only compares, scale cancels)."""
+    """5x5 box sum via separable shifted adds (dense, fused).  Returns
+    int32 sums (not divided — BRIEF only compares, scale cancels).
+    Integer adds are associative, so this is bit-identical to the previous
+    cumsum formulation — but ~10x faster on TPU, where cumsum lowers to a
+    multi-pass scan (~4.5 ms/plane at 1080p vs ~0.4 ms for 8 plane adds)."""
     img = image.astype(jnp.int32)
 
     def box1d(x, axis):
-        c = jnp.cumsum(x, axis=axis)
         n = x.shape[axis]
-        lead = jax.lax.slice_in_dim(c, 4, n, axis=axis)
-        lag = jax.lax.slice_in_dim(c, 0, n - 4, axis=axis)
-        inner = lead - lag + jax.lax.slice_in_dim(x, 0, n - 4, axis=axis)
+        inner = sum(
+            jax.lax.slice_in_dim(x, d, n - 4 + d, axis=axis) for d in range(1, 5)
+        ) + jax.lax.slice_in_dim(x, 0, n - 4, axis=axis)
         # pad edges by clamping (2 rows/cols each side)
         first = jax.lax.slice_in_dim(inner, 0, 1, axis=axis)
         last = jax.lax.slice_in_dim(inner, inner.shape[axis] - 1, inner.shape[axis], axis=axis)
@@ -273,6 +298,88 @@ def describe_dense(
     return desc, inb
 
 
+_PATCH = 2 * PATCH_R + 1  # rows/cols of a descriptor patch
+
+
+@functools.lru_cache(maxsize=None)
+def _sampling_matrix(oriented: bool) -> np.ndarray:
+    """(n_bins, 2 * _PATCH**2, BITS) bf16-exact +-1/+-128 matrix turning a
+    hi/lo-split flattened patch into per-bit sample differences.
+
+    Column i carries +1 at pattern endpoint 2 and -1 at endpoint 1 (so
+    ``diff > 0`` reproduces the sparse path's ``blur[o1] < blur[o2]``
+    strict compare; coincident endpoints cancel to 0 = bit False, exactly
+    like the sparse compare of one sample with itself).  The first
+    _PATCH**2 rows are scaled by 128 and multiply the high 6 bits of the
+    blurred value, the rest multiply the low 7 — both operand halves are
+    integers < 256, hence exact in bf16, and every accumulation stays far
+    inside f32's integer range (|diff| <= 961 * 6375 < 2**23)."""
+    pats = ROTATED_PATTERNS if oriented else PATTERN[None]
+    nb = pats.shape[0]
+    d = np.zeros((nb, _PATCH * _PATCH, BITS), np.float32)
+    for b in range(nb):
+        for i in range(BITS):
+            (x1, y1), (x2, y2) = pats[b, i]
+            d[b, (y1 + PATCH_R) * _PATCH + (x1 + PATCH_R), i] -= 1.0
+            d[b, (y2 + PATCH_R) * _PATCH + (x2 + PATCH_R), i] += 1.0
+    return np.concatenate([128.0 * d, d], axis=1)
+
+
+def _pack_bits(bits: jax.Array) -> jax.Array:
+    """(K, BITS) bool -> (K, WORDS) uint32, bit b of word j = bit 32j+b."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    grouped = bits.reshape(-1, WORDS, 32).astype(jnp.uint32)
+    return (grouped << shifts[None, None, :]).sum(axis=-1, dtype=jnp.uint32)
+
+
+def describe_patched(
+    image: jax.Array, kps: Keypoints, oriented: bool = False,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """BRIEF-256 (plain or steered) via per-keypoint patch extraction +
+    one MXU sampling matmul — the fast TPU path for sparse keypoint sets.
+
+    The K x 512 scattered-sample gather of :func:`describe` /
+    :func:`describe_oriented` costs ~7-9 ms/frame at 1080p on TPU.  Here
+    the Pallas kernel ``ops/patch_pallas.py`` DMAs each keypoint's 31x31
+    blurred patch into an aligned window (block-granular "gather" done by
+    the DMA engine), and ALL pattern samples — every pair, every
+    orientation bin — drop out of one bf16 matmul against a +-1 one-hot
+    difference matrix, accumulated exactly in f32 (see _sampling_matrix).
+    Bit-identical to the sparse paths at every valid slot.
+    """
+    h, w = image.shape
+    from ..ops import patch_pallas
+
+    inb = (
+        kps.valid
+        & (kps.xy[:, 0] >= BORDER)
+        & (kps.xy[:, 0] < w - BORDER)
+        & (kps.xy[:, 1] >= BORDER)
+        & (kps.xy[:, 1] < h - BORDER)
+    )
+    blur = box_blur5(image)
+    wins = patch_pallas.extract_patches(blur, kps.xy, interpret=interpret)
+    p = wins[:, :_PATCH, :_PATCH].reshape(-1, _PATCH * _PATCH)
+    feat = jnp.concatenate(
+        [(p >> 7).astype(jnp.bfloat16), (p & 127).astype(jnp.bfloat16)],
+        axis=1,
+    )  # (K, 2 * _PATCH**2), both halves bf16-exact
+    d = jnp.asarray(_sampling_matrix(oriented), jnp.bfloat16)
+    diff = jnp.einsum(
+        "kp,bpi->kbi", feat, d, preferred_element_type=jnp.float32
+    )  # (K, n_bins, BITS), exact integers
+    if oriented:
+        bins = orientation_bins(image, kps)
+        onehot = (bins[:, None] == jnp.arange(d.shape[0])[None, :]).astype(
+            jnp.float32
+        )
+        diff = (diff * onehot[:, :, None]).sum(axis=1)
+    else:
+        diff = diff[:, 0]
+    return _pack_bits(diff > 0), inb
+
+
 @functools.partial(jax.jit, static_argnums=())
 def describe_oriented(
     image: jax.Array, kps: Keypoints
@@ -328,7 +435,12 @@ def detect_and_describe(
     mask, score = _detect_dense_best(image, threshold, count, NonmaxMode.SUM_ABSOLUTE)
     kps = select_topk(mask, score, k)
     if oriented:
-        desc, dvalid = describe_oriented.__wrapped__(image, kps)
+        if jax.default_backend() == "tpu":
+            # Patch-extraction kernel + MXU sampling matmul: the sparse
+            # rotated-sample gather costs ~9 ms/frame at 1080p on TPU.
+            desc, dvalid = describe_patched(image, kps, oriented=True)
+        else:
+            desc, dvalid = describe_oriented.__wrapped__(image, kps)
     elif jax.default_backend() == "tpu":
         # Dense Pallas description: compare shifted blurred planes on-chip
         # and gather only K*WORDS scalars — the sparse K*512-sample gather

@@ -1,0 +1,139 @@
+"""Sparse per-keypoint patch extraction as a Pallas TPU kernel.
+
+Steered (oriented) BRIEF cannot ride the dense descriptor kernel
+(ops/brief_pallas.py): the sampling pattern differs per keypoint (30
+quantized orientations), so dense per-pixel words would cost 30x.  The
+sparse XLA gather of K x 512 rotated samples costs ~7-9 ms/frame at 1080p
+on TPU — gathers of scattered scalars are the pathological case the rest
+of this framework avoids (SURVEY.md §7: the reference's per-candidate
+`_mm256_i32gather_epi32` trick, fast_simd.rs:133-197, has no efficient
+TPU analogue).
+
+The TPU-native shape of the problem: keypoint sampling = (structured
+patch copy) + (fixed linear map).  This kernel does the copy — for each
+keypoint, DMA the four (32, 128) VMEM blocks covering its 31x31 blurred
+patch (block indices come from scalar-prefetched coordinates, so the DMA
+engine does the "gather" at block granularity), rotate rows/lanes by the
+in-block offset, and emit an aligned (32, 128) window whose top-left
+31x31 is the patch.  The linear map (point-pair sampling, all 30
+orientations at once) then runs as ONE bf16 matmul on the MXU
+(models/brief.py::_bits_from_patches) — sampling becomes dense compute
+instead of scattered memory traffic.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fast_pallas import LANES, _VMEM_LIMIT, _pad_to
+
+#: Patch rows/cols actually consumed downstream (2 * PATCH_R + 1).
+PATCH = 31
+#: Rows per extracted window (patch rows 0..30 plus one slack row so the
+#: window is a whole number of sublane tiles).
+WIN_H = 32
+#: Block height of the source plane grid; a 31-row patch plus its in-block
+#: offset (< 32) always fits in two vertically adjacent blocks.
+_BLK_H = 32
+
+#: Keypoints handled per grid step (amortizes per-step bookkeeping; each
+#: keypoint needs 4 input windows, so specs scale 4x this).
+_GROUP = 4
+
+
+def _roll_rows(win: jax.Array, dy) -> jax.Array:
+    """out[r, :] = win[(r + dy) % rows, :] — dynamic sublane rotate."""
+    return pltpu.roll(win, (-dy) % win.shape[0], axis=0)
+
+
+def _roll_lanes(win: jax.Array, dx) -> jax.Array:
+    """out[:, c] = win[:, (c + dx) % lanes] — dynamic lane rotate."""
+    return pltpu.roll(win, (-dx) % win.shape[1], axis=1)
+
+
+def _kernel(coords, *refs, group: int):
+    ins = refs[: 4 * group]
+    out = refs[4 * group]
+    i = pl.program_id(0)
+    for j in range(group):
+        x = coords[group * i + j, 0]
+        y = coords[group * i + j, 1]
+        tl, tr, bl, br = (r[...] for r in ins[4 * j : 4 * j + 4])
+        win = jnp.concatenate(
+            [
+                jnp.concatenate([tl, tr], axis=1),
+                jnp.concatenate([bl, br], axis=1),
+            ],
+            axis=0,
+        )  # (2*_BLK_H, 2*LANES): rows from 32*((y-15)//32), cols likewise
+        win = _roll_rows(win, (y - PATCH // 2) % _BLK_H)
+        win = _roll_lanes(win, (x - PATCH // 2) % LANES)
+        out[j] = win[:WIN_H, :LANES]
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def extract_patches(
+    plane: jax.Array, xy: jax.Array, group: int = _GROUP,
+    interpret: bool = False,
+) -> jax.Array:
+    """(K, WIN_H, LANES) windows of ``plane`` around each keypoint.
+
+    ``out[k, r, c] = plane[y_k - 15 + r, x_k - 15 + c]`` for r in [0, 32)
+    and c in [0, 128) — the 31x31 patch sits in the top-left corner.
+    Coordinates are clamped so every window is in-bounds; callers mask
+    out-of-border keypoints via their validity bit as usual.
+
+    ``plane`` may be any i32 image-shaped array (here: the 5x5-blurred
+    image).  K is padded to a multiple of ``group`` internally.
+    """
+    h, w = plane.shape
+    k = xy.shape[0]
+    # Guard block on the right so col block (x-15)//128 + 1 always exists.
+    hp, wp = _pad_to(h, _BLK_H) + _BLK_H, _pad_to(w, LANES) + LANES
+    padded = jnp.pad(plane.astype(jnp.int32), ((0, hp - h), (0, wp - w)))
+
+    kp = _pad_to(k, group)
+    x = jnp.clip(xy[:, 0], PATCH // 2, w - PATCH // 2 - 1)
+    y = jnp.clip(xy[:, 1], PATCH // 2, h - PATCH // 2 - 1)
+    coords = jnp.stack([x, y], axis=-1).astype(jnp.int32)
+    if kp != k:
+        coords = jnp.concatenate(
+            [coords, jnp.full((kp - k, 2), PATCH // 2, jnp.int32)]
+        )
+
+    n_rb, n_cb = hp // _BLK_H, wp // LANES
+    in_specs = []
+    for j in range(group):
+        for dr in (0, 1):
+            for dc in (0, 1):
+
+                def idx(i, coords, j=j, dr=dr, dc=dc):
+                    cx = coords[group * i + j, 0]
+                    cy = coords[group * i + j, 1]
+                    r = jnp.clip((cy - PATCH // 2) // _BLK_H + dr, 0, n_rb - 1)
+                    c = jnp.clip((cx - PATCH // 2) // LANES + dc, 0, n_cb - 1)
+                    return (r, c)
+
+                in_specs.append(pl.BlockSpec((_BLK_H, LANES), idx))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(kp // group,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (group, WIN_H, LANES), lambda i, coords: (i, 0, 0)
+        ),
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, group=group),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((kp, WIN_H, LANES), jnp.int32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=bool(interpret),
+    )(coords, *([padded] * (4 * group)))
+    return out[:k]
