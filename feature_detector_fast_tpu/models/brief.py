@@ -325,6 +325,25 @@ def _sampling_matrix(oriented: bool) -> np.ndarray:
     return np.concatenate([128.0 * d, d], axis=1)
 
 
+@functools.lru_cache(maxsize=None)
+def _moment_matrix() -> np.ndarray:
+    """(_PATCH**2, 2) f32 — (dx, dy) per flattened patch cell, so patch
+    moments (m10, m01) = raw_patch @ _moment_matrix.  Weights <= 15 and
+    raw pixels <= 255 are both bf16-exact; |m| <= 961*255*15 < 2**22, so
+    the f32-accumulated matmul equals :func:`orientation_bins`'s dense
+    box-filter moments bit-for-bit."""
+    d = np.arange(-PATCH_R, PATCH_R + 1, dtype=np.float32)
+    dx = np.tile(d, _PATCH)
+    dy = np.repeat(d, _PATCH)
+    return np.stack([dx, dy], axis=1)
+
+
+#: blur5 values are 25-pixel sums <= 25*255 = 6375 < 2**_RAW_SHIFT, so a
+#: raw pixel packs into bits [13, 21) of the same i32 plane and one patch
+#: extraction serves both the sampler and the orientation moments.
+_RAW_SHIFT = 13
+
+
 def _pack_bits(bits: jax.Array) -> jax.Array:
     """(K, BITS) bool -> (K, WORDS) uint32, bit b of word j = bit 32j+b."""
     shifts = jnp.arange(32, dtype=jnp.uint32)
@@ -359,8 +378,17 @@ def describe_patched(
         & (kps.xy[:, 1] < h - BORDER)
     )
     blur = box_blur5(image)
-    wins = patch_pallas.extract_patches(blur, kps.xy, interpret=interpret)
+    if oriented:
+        # One extraction serves both consumers: raw pixels ride the blur
+        # plane's spare high bits (see _RAW_SHIFT).
+        plane = blur | (image.astype(jnp.int32) << _RAW_SHIFT)
+    else:
+        plane = blur
+    wins = patch_pallas.extract_patches(plane, kps.xy, interpret=interpret)
     p = wins[:, :_PATCH, :_PATCH].reshape(-1, _PATCH * _PATCH)
+    if oriented:
+        raw = p >> _RAW_SHIFT
+        p = p & ((1 << _RAW_SHIFT) - 1)
     feat = jnp.concatenate(
         [(p >> 7).astype(jnp.bfloat16), (p & 127).astype(jnp.bfloat16)],
         axis=1,
@@ -370,7 +398,20 @@ def describe_patched(
         "kp,bpi->kbi", feat, d, preferred_element_type=jnp.float32
     )  # (K, n_bins, BITS), exact integers
     if oriented:
-        bins = orientation_bins(image, kps)
+        # Moments from the raw patches (bit-identical to orientation_bins
+        # — see _moment_matrix), then a bin-one-hot select of the matching
+        # orientation's sample differences.
+        m = jnp.einsum(
+            "kp,pm->km",
+            raw.astype(jnp.bfloat16),
+            jnp.asarray(_moment_matrix(), jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        angle = jnp.arctan2(m[:, 1], m[:, 0])
+        bins = jnp.mod(
+            jnp.round(angle / (2.0 * jnp.pi) * N_ANGLE_BINS).astype(jnp.int32),
+            N_ANGLE_BINS,
+        )
         onehot = (bins[:, None] == jnp.arange(d.shape[0])[None, :]).astype(
             jnp.float32
         )
@@ -442,10 +483,15 @@ def detect_and_describe(
         else:
             desc, dvalid = describe_oriented.__wrapped__(image, kps)
     elif jax.default_backend() == "tpu":
-        # Dense Pallas description: compare shifted blurred planes on-chip
-        # and gather only K*WORDS scalars — the sparse K*512-sample gather
-        # below costs ~7.5 ms/frame at 1080p on TPU.
-        desc, dvalid = describe_dense(image, kps)
+        if k <= 2048:
+            # Patch extraction + sampling matmul: cost scales with K, so
+            # it beats the fixed ~1 ms/frame dense kernel for sparse sets.
+            desc, dvalid = describe_patched(image, kps, oriented=False)
+        else:
+            # Dense Pallas description: compare shifted blurred planes
+            # on-chip and gather only K*WORDS scalars — the sparse
+            # K*512-sample gather below costs ~7.5 ms/frame at 1080p.
+            desc, dvalid = describe_dense(image, kps)
     else:
         desc, dvalid = describe.__wrapped__(image, kps)
     return kps, desc, dvalid
