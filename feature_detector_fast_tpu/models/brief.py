@@ -169,8 +169,16 @@ class Keypoints(NamedTuple):
     valid: jax.Array  # (K,) bool
 
 
-#: Pixels per selection group in the two-level top-K (see select_topk).
-_SEL_GROUP = 256
+def _sel_group(n: int, k: int) -> int:
+    """Pixels per selection group in the two-level top-K (see select_topk).
+
+    The two levels touch n/G + k*G keys and XLA's top_k costs roughly
+    linearly in keys touched, so G wants to shrink as k grows — but
+    groups narrower than a 128-lane vreg waste the per-group reduce and
+    the row gather.  Measured on v5e at 1080p (detect+topk ms/frame):
+    k=512: G128 0.45 < G64 0.48 < G256 0.51; k=1000: G128 0.53 < G64 ~
+    G32 0.64 < G256 0.68; k=2048: G64 0.58 < G128 0.67 < G256 1.16."""
+    return 64 if n < 1500 * k else 128
 
 
 def _topk_key(mask: jax.Array, score: jax.Array) -> Tuple[jax.Array, int]:
@@ -204,22 +212,24 @@ def select_topk(mask: jax.Array, score: jax.Array, k: int) -> Keypoints:
 
     Two-level selection instead of one top_k over all H*W keys (which
     costs ~2 ms/frame at 1080p on TPU — a near-full-image partial sort):
-    group pixels 256 per superword, take each group's max key (a cheap
-    lane reduce), top_k the ~H*W/256 group maxima, then top_k the
-    selected groups' gathered key rows.  Provably identical to the flat
-    top_k: a global top-k key lives in a group whose max ranks top-k
-    (each better-ranked group contributes at least one better key)."""
+    group pixels G per group (G ~ sqrt(H*W/k), see _sel_group), take each
+    group's max key (a cheap lane reduce), top_k the H*W/G group maxima,
+    then top_k the selected groups' gathered key rows.  Provably
+    identical to the flat top_k for any G: a global top-k key lives in a
+    group whose max ranks top-k (each better-ranked group contributes at
+    least one better key)."""
     h, w = mask.shape
     key, idx_bits = _topk_key(mask, score)
     n = h * w
-    ns = -(-n // _SEL_GROUP)
-    pad = ns * _SEL_GROUP - n
+    gsz = _sel_group(n, int(k))
+    ns = -(-n // gsz)
+    pad = ns * gsz - n
     if pad:
         key = jnp.concatenate([key, jnp.full((pad,), -1, jnp.int32)])
-    rows = key.reshape(ns, _SEL_GROUP)
+    rows = key.reshape(ns, gsz)
     k_s = min(int(k), ns)
     _, si = jax.lax.top_k(rows.max(axis=1), k_s)
-    cand = rows[si].reshape(-1)  # (k_s * _SEL_GROUP,)
+    cand = rows[si].reshape(-1)  # (k_s * gsz,)
     k2 = min(int(k), cand.shape[0])
     topv, _ = jax.lax.top_k(cand, k2)
     if k2 < int(k):
@@ -338,12 +348,6 @@ def _moment_matrix() -> np.ndarray:
     return np.stack([dx, dy], axis=1)
 
 
-#: blur5 values are 25-pixel sums <= 25*255 = 6375 < 2**_RAW_SHIFT, so a
-#: raw pixel packs into bits [13, 21) of the same i32 plane and one patch
-#: extraction serves both the sampler and the orientation moments.
-_RAW_SHIFT = 13
-
-
 def _pack_bits(bits: jax.Array) -> jax.Array:
     """(K, BITS) bool -> (K, WORDS) uint32, bit b of word j = bit 32j+b."""
     shifts = jnp.arange(32, dtype=jnp.uint32)
@@ -377,18 +381,14 @@ def describe_patched(
         & (kps.xy[:, 1] >= BORDER)
         & (kps.xy[:, 1] < h - BORDER)
     )
-    blur = box_blur5(image)
-    if oriented:
-        # One extraction serves both consumers: raw pixels ride the blur
-        # plane's spare high bits (see _RAW_SHIFT).
-        plane = blur | (image.astype(jnp.int32) << _RAW_SHIFT)
-    else:
-        plane = blur
-    wins = patch_pallas.extract_patches(plane, kps.xy, interpret=interpret)
+    # Fused kernel: one DMA per keypoint fetches an overlapped u8 strip,
+    # the 5x5 blur runs on the 24 KB window in VMEM, and raw pixels ride
+    # the blurred patch's spare high bits for the orientation moments.
+    wins = patch_pallas.extract_windows_fused(
+        image, kps.xy, interpret=interpret)
     p = wins[:, :_PATCH, :_PATCH].reshape(-1, _PATCH * _PATCH)
-    if oriented:
-        raw = p >> _RAW_SHIFT
-        p = p & ((1 << _RAW_SHIFT) - 1)
+    raw = p >> patch_pallas.RAW_SHIFT
+    p = p & ((1 << patch_pallas.RAW_SHIFT) - 1)
     feat = jnp.concatenate(
         [(p >> 7).astype(jnp.bfloat16), (p & 127).astype(jnp.bfloat16)],
         axis=1,

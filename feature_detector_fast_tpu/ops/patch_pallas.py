@@ -63,7 +63,7 @@ def _kernel(coords, *refs, group: int):
     for j in range(group):
         x = coords[group * i + j, 0]
         y = coords[group * i + j, 1]
-        tl, tr, bl, br = (r[...] for r in ins[4 * j : 4 * j + 4])
+        tl, tr, bl, br = (r[...].astype(jnp.int32) for r in ins[4 * j : 4 * j + 4])
         win = jnp.concatenate(
             [
                 jnp.concatenate([tl, tr], axis=1),
@@ -74,6 +74,135 @@ def _kernel(coords, *refs, group: int):
         win = _roll_rows(win, (y - PATCH // 2) % _BLK_H)
         win = _roll_lanes(win, (x - PATCH // 2) % LANES)
         out[j] = win[:WIN_H, :LANES]
+
+
+#: Raw pixels ride bits [RAW_SHIFT, RAW_SHIFT+8) of the fused kernel's
+#: packed output (blur5 sums are <= 25*255 = 6375 < 2**RAW_SHIFT).
+RAW_SHIFT = 13
+
+
+def _roll_cols_static(win: jax.Array, dx: int) -> jax.Array:
+    """out[:, c] = win[:, (c + dx) % lanes] for a STATIC dx."""
+    return pltpu.roll(win, (-dx) % win.shape[1], axis=1)
+
+
+def _fused_kernel(coords, *refs, group: int):
+    ins = refs[:group]
+    out = refs[group]
+    i = pl.program_id(0)
+    for j in range(group):
+        x = coords[group * i + j, 0]
+        y = coords[group * i + j, 1]
+        # Dynamic-sliced sublane load: only the 48 rows the blur halo can
+        # touch leave the (96, 256) strip (Mosaic needs the start 8-aligned
+        # — pl.multiple_of — so an 8-residue row roll follows), and the
+        # widen / roll / add work below runs on half the window.
+        off = (y - PATCH // 2 - 2) % _BLK_H
+        win = ins[j][pl.ds(pl.multiple_of(off & ~7, 8), 48), :]
+        win = _roll_rows(win.astype(jnp.int32), off & 7)[: WIN_H + 4]
+        # win[r, c] = image[y - 17 + r, x - 17 + c] for c < 162.
+        bv = sum(
+            jax.lax.slice_in_dim(win, d, d + WIN_H, axis=0) for d in range(5)
+        )  # vertical 5-sum centred at y - 15 + r
+        # Raw patch rows share bv's alignment; pack them into bv's spare
+        # high bits so ONE dynamic lane roll serves both planes.
+        packed = bv | (
+            jax.lax.slice_in_dim(win, 2, 2 + WIN_H, axis=0) << RAW_SHIFT
+        )
+        packed = _roll_lanes(packed, (x - PATCH // 2 - 2) % LANES)
+        bvr = packed & ((1 << RAW_SHIFT) - 1)
+        bh = sum(_roll_cols_static(bvr, d) for d in range(5))
+        # bh[r, c] = blur5 at image (y - 15 + r, x - 15 + c); the raw
+        # patch is two lanes further into the rolled window.
+        raw = _roll_cols_static(packed, 2) & (255 << RAW_SHIFT)
+        out[j] = bh[:, :LANES] | raw[:, :LANES]
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def extract_windows_fused(
+    image: jax.Array, xy: jax.Array, group: int = _GROUP,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused blur + patch extraction: ONE DMA per keypoint.
+
+    Returns (K, WIN_H, LANES) i32 windows where
+    ``out[k, r, c] = blur5(y_k-15+r, x_k-15+c) | raw(y_k-15+r, x_k-15+c) << 13``
+    (valid for r, c < PATCH — the 32nd row/col is sublane-tile slack;
+    blur5 = 25-pixel box SUM as in models.brief.box_blur5, identical to
+    it at every cell a valid keypoint's pattern samples).  The separate blur pass, the raw-pixel packing op, and 3 of
+    the 4 per-keypoint DMAs of :func:`extract_patches` all disappear:
+    profiling shows extraction is DMA-COUNT-bound (~130 ns per issued
+    copy; a 4x byte reduction moved the time 4%), so the source is an
+    overlapped u8 strip plane — strip (rb, cb) holds image rows
+    [32 rb, 32 rb + 96) x cols [128 cb, 128 cb + 256), every 35 x 35
+    blur-halo window lives in exactly one strip — built once per frame
+    (~6x u8 image memory, a single XLA fusion) and each keypoint costs
+    one (96, 256) u8 block fetch.  The 5x5 box blur runs on the 24 KB
+    window in VMEM instead of densely over the frame.
+
+    Requires an image at least 35 x 35; coordinates are clamped to the
+    patch-safe interior as in :func:`extract_patches`.
+    """
+    h, w = image.shape
+    k = xy.shape[0]
+    if h < 2 * PATCH // 2 + 5 or w < 2 * PATCH // 2 + 5:
+        raise ValueError(f"image too small for fused extraction: {h}x{w}")
+    hp, wp = _pad_to(h, _BLK_H), _pad_to(w, LANES)
+    pad = jnp.pad(image, ((0, hp + 2 * _BLK_H - h), (0, wp + LANES - w)))
+    n_rb, n_cb = hp // _BLK_H, wp // LANES
+    # Overlapped strips: 3 row-shifted copies interleaved per 32-row
+    # group, then 2 col-shifted copies per 128-lane group.
+    rows = jnp.concatenate(
+        [
+            pad[d * _BLK_H : d * _BLK_H + hp].reshape(n_rb, _BLK_H, -1)
+            for d in range(3)
+        ],
+        axis=1,
+    ).reshape(3 * hp, wp + LANES)
+    strips = jnp.concatenate(
+        [
+            rows[:, d * LANES : d * LANES + wp].reshape(3 * hp, n_cb, LANES)
+            for d in range(2)
+        ],
+        axis=2,
+    ).reshape(3 * hp, 2 * wp)
+
+    kp = _pad_to(k, group)
+    margin = PATCH // 2 + 2
+    x = jnp.clip(xy[:, 0], margin, w - margin - 1)
+    y = jnp.clip(xy[:, 1], margin, h - margin - 1)
+    coords = jnp.stack([x, y], axis=-1).astype(jnp.int32)
+    if kp != k:
+        coords = jnp.concatenate(
+            [coords, jnp.full((kp - k, 2), margin, jnp.int32)]
+        )
+
+    in_specs = []
+    for j in range(group):
+
+        def idx(i, coords, j=j):
+            cx = coords[group * i + j, 0]
+            cy = coords[group * i + j, 1]
+            return ((cy - margin) // _BLK_H, (cx - margin) // LANES)
+
+        in_specs.append(pl.BlockSpec((3 * _BLK_H, 2 * LANES), idx))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(kp // group,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (group, WIN_H, LANES), lambda i, coords: (i, 0, 0)
+        ),
+    )
+    out = pl.pallas_call(
+        functools.partial(_fused_kernel, group=group),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((kp, WIN_H, LANES), jnp.int32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=bool(interpret),
+    )(coords, *([strips] * group))
+    return out[:k]
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
@@ -95,7 +224,7 @@ def extract_patches(
     k = xy.shape[0]
     # Guard block on the right so col block (x-15)//128 + 1 always exists.
     hp, wp = _pad_to(h, _BLK_H) + _BLK_H, _pad_to(w, LANES) + LANES
-    padded = jnp.pad(plane.astype(jnp.int32), ((0, hp - h), (0, wp - w)))
+    padded = jnp.pad(plane, ((0, hp - h), (0, wp - w)))
 
     kp = _pad_to(k, group)
     x = jnp.clip(xy[:, 0], PATCH // 2, w - PATCH // 2 - 1)

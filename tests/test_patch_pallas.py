@@ -51,6 +51,30 @@ def test_extract_patches_clamps_border(rng):
         wins[3, :31, :31], plane[32 - r : 32 + r + 1, 64 - r : 64 + r + 1])
 
 
+@pytest.mark.parametrize("shape", [(64, 128), (97, 130), (200, 300)])
+def test_extract_windows_fused(rng, shape):
+    """Fused windows = blur5 | raw << RAW_SHIFT at every in-patch cell."""
+    h, w = shape
+    img = rng.integers(0, 256, shape, np.uint8)
+    blur = np.asarray(brief.box_blur5(img))
+    k = 21
+    m = patch_pallas.PATCH // 2 + 2  # fused margin (patch + blur halo)
+    xy = np.stack([
+        rng.integers(m, w - m - 1, k), rng.integers(m, h - m - 1, k)
+    ], axis=-1).astype(np.int32)
+    wins = np.asarray(
+        patch_pallas.extract_windows_fused(img, xy, interpret=True))
+    r = patch_pallas.PATCH // 2
+    n = patch_pallas.PATCH
+    for i, (x, y) in enumerate(xy):
+        want = (
+            blur[y - r : y - r + n, x - r : x - r + n]
+            | (img[y - r : y - r + n, x - r : x - r + n].astype(np.int32)
+               << patch_pallas.RAW_SHIFT)
+        )
+        np.testing.assert_array_equal(wins[i, :n, :n], want)
+
+
 @pytest.mark.parametrize("oriented", [False, True])
 @pytest.mark.parametrize("shape", [(64, 128), (97, 130), (200, 300)])
 def test_patched_describe_matches_sparse(rng, shape, oriented):
