@@ -355,9 +355,51 @@ def _pack_bits(bits: jax.Array) -> jax.Array:
     return (grouped << shifts[None, None, :]).sum(axis=-1, dtype=jnp.uint32)
 
 
+def _block_sorted_feed(
+    xy: jax.Array, h: int, w: int, group: int
+) -> Tuple[jax.Array, jax.Array]:
+    """(feed_xy (Kp, 2), inv (K,)) — coords reordered so the extraction
+    kernel's DMAs dedup, plus the gather indices that restore slot order.
+
+    extract_windows_fused is DMA-count-bound, and Pallas elides an
+    operand's copy when its block index is unchanged between consecutive
+    grid steps.  Operand j of grid step i reads coords[group*i + j], so
+    feeding strip-block-sorted keypoints INTERLEAVED — feed[group*i + j] =
+    sorted[j*S + i], S = Kp/group — makes each operand walk a contiguous
+    sorted run: its DMA count drops from S to ~(#distinct blocks in the
+    run).  Measured 1.26x on extraction at k=1000/1080p (uniform-random
+    coords; clustered real keypoints dedup at least as well).  Row order
+    of the extracted windows is feed order; callers un-permute the CHEAP
+    downstream products (descriptor words, moments) via ``inv``:
+    ``out_slot_s = rows[inv[s]]``."""
+    from ..ops import patch_pallas as pp
+
+    k = xy.shape[0]
+    kp = -(-k // group) * group
+    margin = pp.PATCH // 2 + 2
+    # Same clipping as the kernel's index map, so the sort key matches the
+    # block actually fetched.
+    xc = jnp.clip(xy[:, 0], margin, w - margin - 1)
+    yc = jnp.clip(xy[:, 1], margin, h - margin - 1)
+    key = ((yc - margin) // pp._BLK_H) * 1024 + (xc - margin) // pp.LANES
+    perm = jnp.argsort(key)  # (K,) sorted-pos -> slot
+    xy_sorted = xy[perm]
+    tot = perm
+    if kp != k:
+        xy_sorted = jnp.concatenate(
+            [xy_sorted, jnp.full((kp - k, 2), margin, xy.dtype)])
+        tot = jnp.concatenate(
+            [tot, jnp.arange(k, kp, dtype=perm.dtype)])
+    s = kp // group
+    feed_xy = xy_sorted.reshape(group, s, 2).transpose(1, 0, 2).reshape(kp, 2)
+    feed_slot = tot.reshape(group, s).T.reshape(kp)  # feed row -> slot
+    inv = jnp.argsort(feed_slot)  # slot -> feed row
+    return feed_xy, inv[:k]
+
+
 def describe_patched(
     image: jax.Array, kps: Keypoints, oriented: bool = False,
-    interpret: bool = False,
+    interpret: bool = False, sort_blocks: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """BRIEF-256 (plain or steered) via per-keypoint patch extraction +
     one MXU sampling matmul — the fast TPU path for sparse keypoint sets.
@@ -370,6 +412,15 @@ def describe_patched(
     orientation bin — drop out of one bf16 matmul against a +-1 one-hot
     difference matrix, accumulated exactly in f32 (see _sampling_matrix).
     Bit-identical to the sparse paths at every valid slot.
+
+    ``sort_blocks`` feeds the kernel strip-block-sorted coords so
+    consecutive same-block DMAs dedup (see _block_sorted_feed); the final
+    descriptor rows are restored to slot order, so results are identical
+    (verified bit-exact on hardware).  OPT-IN for now: long elision runs
+    flakily crash the TPU worker at large batch x grid (e.g. 216-frame
+    VGA batches, ~50% of invocations — a Mosaic/XLA pipelining fault, not
+    a values bug; successful runs are bit-identical).  Re-enable by
+    default once the kernel issues its own block-change-gated copies.
     """
     h, w = image.shape
     from ..ops import patch_pallas
@@ -381,11 +432,16 @@ def describe_patched(
         & (kps.xy[:, 1] >= BORDER)
         & (kps.xy[:, 1] < h - BORDER)
     )
+    inv = None
+    feed_xy = kps.xy
+    if sort_blocks:
+        feed_xy, inv = _block_sorted_feed(
+            kps.xy, h, w, patch_pallas._GROUP)
     # Fused kernel: one DMA per keypoint fetches an overlapped u8 strip,
     # the 5x5 blur runs on the 24 KB window in VMEM, and raw pixels ride
     # the blurred patch's spare high bits for the orientation moments.
     wins = patch_pallas.extract_windows_fused(
-        image, kps.xy, interpret=interpret)
+        image, feed_xy, interpret=interpret)
     p = wins[:, :_PATCH, :_PATCH].reshape(-1, _PATCH * _PATCH)
     raw = p >> patch_pallas.RAW_SHIFT
     p = p & ((1 << patch_pallas.RAW_SHIFT) - 1)
@@ -418,7 +474,10 @@ def describe_patched(
         diff = (diff * onehot[:, :, None]).sum(axis=1)
     else:
         diff = diff[:, 0]
-    return _pack_bits(diff > 0), inb
+    desc = _pack_bits(diff > 0)
+    if inv is not None:  # restore slot order (cheap: (K, WORDS) gather)
+        desc = desc[inv]
+    return desc, inb
 
 
 @functools.partial(jax.jit, static_argnums=())

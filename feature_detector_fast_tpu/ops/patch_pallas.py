@@ -61,8 +61,8 @@ def _kernel(coords, *refs, group: int):
     out = refs[4 * group]
     i = pl.program_id(0)
     for j in range(group):
-        x = coords[group * i + j, 0]
-        y = coords[group * i + j, 1]
+        x = coords[0, group * i + j]
+        y = coords[1, group * i + j]
         tl, tr, bl, br = (r[...].astype(jnp.int32) for r in ins[4 * j : 4 * j + 4])
         win = jnp.concatenate(
             [
@@ -91,8 +91,8 @@ def _fused_kernel(coords, *refs, group: int):
     out = refs[group]
     i = pl.program_id(0)
     for j in range(group):
-        x = coords[group * i + j, 0]
-        y = coords[group * i + j, 1]
+        x = coords[0, group * i + j]
+        y = coords[1, group * i + j]
         # Dynamic-sliced sublane load: only the 48 rows the blur halo can
         # touch leave the (96, 256) strip (Mosaic needs the start 8-aligned
         # — pl.multiple_of — so an 8-residue row roll follows), and the
@@ -171,18 +171,27 @@ def extract_windows_fused(
     margin = PATCH // 2 + 2
     x = jnp.clip(xy[:, 0], margin, w - margin - 1)
     y = jnp.clip(xy[:, 1], margin, h - margin - 1)
-    coords = jnp.stack([x, y], axis=-1).astype(jnp.int32)
+    # Coords ride SMEM as (2, K): a (K, 2) scalar-prefetch operand gets its
+    # minor dim lane-padded 2 -> 128 in SMEM (K * 512 bytes), blowing the
+    # 1 MB scoped-SMEM budget at K = 2048; (2, K) pads nothing that scales.
+    coords = jnp.stack([x, y], axis=0).astype(jnp.int32)
     if kp != k:
         coords = jnp.concatenate(
-            [coords, jnp.full((kp - k, 2), margin, jnp.int32)]
+            [coords, jnp.full((2, kp - k), margin, jnp.int32)], axis=1
         )
+    # Materialize coords before the custom call: letting XLA fuse a
+    # sort/gather producer (models/brief._block_sorted_feed) into the
+    # scalar-prefetch operand crashed the TPU worker at large batch
+    # (garbage SMEM coords -> wild block-index DMA); the barrier pins a
+    # plain {1,0}-layout buffer.
+    coords = jax.lax.optimization_barrier(coords)
 
     in_specs = []
     for j in range(group):
 
         def idx(i, coords, j=j):
-            cx = coords[group * i + j, 0]
-            cy = coords[group * i + j, 1]
+            cx = coords[0, group * i + j]
+            cy = coords[1, group * i + j]
             return ((cy - margin) // _BLK_H, (cx - margin) // LANES)
 
         in_specs.append(pl.BlockSpec((3 * _BLK_H, 2 * LANES), idx))
@@ -229,10 +238,11 @@ def extract_patches(
     kp = _pad_to(k, group)
     x = jnp.clip(xy[:, 0], PATCH // 2, w - PATCH // 2 - 1)
     y = jnp.clip(xy[:, 1], PATCH // 2, h - PATCH // 2 - 1)
-    coords = jnp.stack([x, y], axis=-1).astype(jnp.int32)
+    # (2, K) SMEM layout — see extract_windows_fused.
+    coords = jnp.stack([x, y], axis=0).astype(jnp.int32)
     if kp != k:
         coords = jnp.concatenate(
-            [coords, jnp.full((kp - k, 2), PATCH // 2, jnp.int32)]
+            [coords, jnp.full((2, kp - k), PATCH // 2, jnp.int32)], axis=1
         )
 
     n_rb, n_cb = hp // _BLK_H, wp // LANES
@@ -242,8 +252,8 @@ def extract_patches(
             for dc in (0, 1):
 
                 def idx(i, coords, j=j, dr=dr, dc=dc):
-                    cx = coords[group * i + j, 0]
-                    cy = coords[group * i + j, 1]
+                    cx = coords[0, group * i + j]
+                    cy = coords[1, group * i + j]
                     r = jnp.clip((cy - PATCH // 2) // _BLK_H + dr, 0, n_rb - 1)
                     c = jnp.clip((cx - PATCH // 2) // LANES + dc, 0, n_cb - 1)
                     return (r, c)

@@ -92,6 +92,22 @@ def test_patched_describe_matches_sparse(rng, shape, oriented):
     np.testing.assert_array_equal(np.asarray(d_p)[v], np.asarray(d_ref)[v])
 
 
+@pytest.mark.parametrize("oriented", [False, True])
+def test_block_sorted_feed_identical(rng, oriented):
+    """The DMA-dedup feed order (sort_blocks=True) changes NOTHING: every
+    descriptor row — valid or not — equals the unsorted feed's."""
+    h, w = 200, 300
+    img = rng.integers(0, 256, (h, w), np.uint8)
+    for k in (1, 3, 37, 64):
+        kps = _fuzz_keypoints(rng, h, w, k)
+        d_a, v_a = brief.describe_patched(
+            img, kps, oriented, interpret=True, sort_blocks=False)
+        d_b, v_b = brief.describe_patched(
+            img, kps, oriented, interpret=True, sort_blocks=True)
+        np.testing.assert_array_equal(np.asarray(v_a), np.asarray(v_b))
+        np.testing.assert_array_equal(np.asarray(d_a), np.asarray(d_b))
+
+
 def test_patched_describe_real_frontend(rng, reference_image):
     """detect + top-K + patched oriented describe on the committed frame
     equals the sparse steered path at valid slots."""
