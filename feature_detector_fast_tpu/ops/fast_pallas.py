@@ -111,6 +111,21 @@ def _packed_any_window_all(m: jax.Array, count: int) -> jax.Array:
     return acc
 
 
+#: Per-field broadcast factor: v * _FF puts ``v`` in both 16-bit fields.
+_FF = 0x00010001
+
+
+def _bit9_to_k(v: jax.Array, k: int) -> jax.Array:
+    """Move bit 9 of each 16-bit field of ``v`` to bit ``k`` of that field,
+    zeroing everything else (the SWAR predicate-bit placer)."""
+    m = _i32c(_FF << k)
+    if k < 9:
+        return (v >> (9 - k)) & m
+    if k == 9:
+        return v & m
+    return (v << (k - 9)) & m
+
+
 def _roll_cols(plane: jax.Array, dx: int) -> jax.Array:
     """Circular column shift: out[r, c] = plane[r, c + dx].  pltpu.roll only
     accepts non-negative shifts, so negative moves wrap around the width."""
@@ -145,11 +160,110 @@ class _RolledWindow:
         )
 
 
+def _swar_window_prefilter(img_prev, img_cur, img_next, *, threshold: int,
+                           count: int, tile_h: int):
+    """OFF-mode tile preamble, SWAR pixel-pair form.
+
+    OFF mode has no scores and no nonmax, so the whole tile body is u8
+    compares + bit packing — and those process TWO pixels per i32 lane by
+    packing tile row r and row r + tile_h/2 into the low/high 16-bit
+    fields of one plane (the TPU analogue of widening the reference's
+    16-lane AVX2 loop, fast_simd.rs:368-379, to 32 lanes).  The strict
+    compares become field-local bit-9 tests:
+
+        p > c + t  <=>  p + (511 - c - t) >= 512      (bright)
+        p < c - t  <=>  (c + 511 - t) - p >= 512      (dark)
+
+    Every field value stays in [0, 1023] (p, c <= 255; 1 <= 511-c-t and
+    256-t <= c+511-t-p, since t <= 255), so no carry/borrow ever crosses
+    the 16-bit field boundary and bit 9 alone decides each predicate —
+    exactly the reference's saturating-bound compares (fast_simd.rs:
+    406-433) at two pixels per op.  The n-consecutive chain
+    (_packed_any_window_all) is already field-local, so it runs unchanged
+    on the paired planes.
+
+    Returns (rw, cpw, hb, cw, tile_has_candidates): ``rw`` taps the packed
+    window (rows=_SWAR_ROWS, row0=_SWAR_ROW0), ``cpw`` is the packed
+    center plane, ``hb``/``cw`` the precomputed per-pixel bias planes."""
+    t = int(threshold)
+    half = tile_h // 2
+    # W[i] = image row (tile_start - HALO + i); u8.  Fields pair tile rows
+    # r (low) and r + half (high): low needs W[HALO-3 .. HALO+half+3), high
+    # W[HALO+half-3 .. HALO+tile_h+3) — top halo 4 rows from prev, bottom
+    # HALO + 4 rows from next.
+    w8 = jnp.concatenate(
+        [img_prev[tile_h - _HALO :, :], img_cur[:, :],
+         img_next[: _HALO + 4, :]],
+        axis=0,
+    )
+    n = half + 2 * RADIUS + 2  # packed rows (slack to an even 8-multiple)
+    lo = jax.lax.slice_in_dim(w8, _HALO - RADIUS, _HALO - RADIUS + n, axis=0)
+    hi = jax.lax.slice_in_dim(
+        w8, _HALO + half - RADIUS, _HALO + half - RADIUS + n, axis=0
+    )
+    pw = lo.astype(jnp.int32) | (hi.astype(jnp.int32) << 16)
+    rw = _RolledWindow(pw)
+    cpw = jax.lax.slice_in_dim(pw, RADIUS, RADIUS + half, axis=0)
+    hb = (511 - t) * _FF - cpw  # 511 - c - t per field
+    cw = cpw + (511 - t) * _FF  # c + 511 - t per field
+
+    # Cardinal prefilter (reference 2.3, fast_simd.rs:368-556) in SWAR:
+    # count the bit-9 predicate hits of the 4 cardinal taps per field
+    # (sums <= 2048, field-local), then test >= need via one biased add —
+    # nb + ta has bit 11 set iff nb >= need * 512.
+    need = 3 if count >= 12 else 2
+    m9 = _i32c(0x200 * _FF)
+    nb = nd = None
+    for c in (NORTH_I, EAST_I, SOUTH_I, WEST_I):
+        p = rw.tap(*CIRCLE[c], rows=half, row0=RADIUS)
+        b = (p + hb) & m9
+        d = (cw - p) & m9
+        nb = b if nb is None else nb + b
+        nd = d if nd is None else nd + d
+    ta = (4 - need) * 512 * _FF
+    bit11 = _i32c(0x800 * _FF)
+    tile_has_candidates = jnp.any((((nb + ta) | (nd + ta)) & bit11) != 0)
+    return rw, cpw, hb, cw, tile_has_candidates
+
+
+def _tile_keypoints_off_swar(rw, cpw, hb, cw, *, i, t: int, count: int,
+                             height: int, width: int, tile_h: int):
+    """OFF-mode arc test on SWAR pixel-pair planes (see
+    _swar_window_prefilter).  Returns keep bool (tile_h, wp)."""
+    half = tile_h // 2
+    wp = cpw.shape[1]
+    bright = dark = None
+    for k, (dx, dy) in enumerate(CIRCLE):
+        p = rw.tap(dx, dy, rows=half, row0=RADIUS)
+        b = _bit9_to_k(p + hb, k)
+        d = _bit9_to_k(cw - p, k)
+        bright = b if bright is None else bright | b
+        dark = d if dark is None else dark | d
+    # Each plane holds one polarity's 16 ring bits for BOTH paired pixels;
+    # the run-doubling window test is field-local, so it applies as-is.
+    a = (
+        _packed_any_window_all(bright, count)
+        | _packed_any_window_all(dark, count)
+    )
+    hit_lo = (a & 0xFFFF) != 0
+    hit_hi = (a & _i32c(0xFFFF0000)) != 0
+    arc_hit = jnp.concatenate([hit_lo, hit_hi], axis=0)  # (tile_h, wp)
+
+    gy = i * tile_h + jax.lax.broadcasted_iota(jnp.int32, (tile_h, wp), 0)
+    gx = jax.lax.broadcasted_iota(jnp.int32, (tile_h, wp), 1)
+    interior = (
+        (gy >= RADIUS) & (gy < height - RADIUS)
+        & (gx >= RADIUS) & (gx < width - RADIUS)
+    )
+    return arc_hit & interior
+
+
 def _window_prefilter(img_prev, img_cur, img_next, *, mode: NonmaxMode,
                       threshold: int, count: int, tile_h: int):
-    """Shared tile preamble: build the halo window and run the cardinal
-    prefilter.  Returns (rw, rows, row0, center, tile_has_candidates),
-    where ``rw`` is the roll-sharing tap factory (_RolledWindow)."""
+    """Score-mode tile preamble (OFF routes through _swar_window_prefilter):
+    build the halo window and run the cardinal prefilter.  Returns
+    (rw, rows, row0, center, tile_has_candidates), where ``rw`` is the
+    roll-sharing tap factory (_RolledWindow)."""
     # (tile_h + 8)-row window around this tile, int32.
     window = jnp.concatenate(
         [
@@ -161,10 +275,9 @@ def _window_prefilter(img_prev, img_cur, img_next, *, mode: NonmaxMode,
     ).astype(jnp.int32)
 
     # Rows for which we compute candidacy/scores: tile rows +-1 (nonmax
-    # halo) — except in OFF mode, where no nonmax runs and the tile's own
-    # rows suffice.
-    rows = tile_h if mode is NonmaxMode.OFF else tile_h + 2
-    row0 = _HALO if mode is NonmaxMode.OFF else _HALO - 1
+    # halo).
+    rows = tile_h + 2
+    row0 = _HALO - 1
     t = int(threshold)
 
     center = jax.lax.slice_in_dim(window, row0, row0 + rows, axis=0)
@@ -188,14 +301,53 @@ def _window_prefilter(img_prev, img_cur, img_next, *, mode: NonmaxMode,
     return rw, rows, row0, center, tile_has_candidates
 
 
-def _kernel(img_prev, img_cur, img_next, mask_out, score_out=None, *, mode: NonmaxMode,
-            threshold: int, count: int, height: int, width: int, tile_h: int):
+def _tile_keep(img_prev, img_cur, img_next, *, mode: NonmaxMode,
+               threshold: int, count: int, height: int, width: int,
+               tile_h: int):
+    """Shared kernel body: prefilter + (on candidates) arc/score/nonmax.
+    Returns (wp, tile_has_candidates, body) where body() -> (keep, score)
+    for the tile's central rows.  OFF mode routes through the SWAR
+    pixel-pair path (two pixels per i32 lane); score modes through the
+    windowed-score path."""
     i = pl.program_id(0)
+    if mode is NonmaxMode.OFF:
+        rw, cpw, hb, cw, tile_has_candidates = _swar_window_prefilter(
+            img_prev, img_cur, img_next, threshold=int(threshold),
+            count=count, tile_h=tile_h,
+        )
+        wp = cpw.shape[1]
+
+        def body():
+            keep = _tile_keypoints_off_swar(
+                rw, cpw, hb, cw, i=i, t=int(threshold), count=count,
+                height=height, width=width, tile_h=tile_h,
+            )
+            return keep, None
+
+        return wp, tile_has_candidates, body
+
     rw, rows, row0, center, tile_has_candidates = _window_prefilter(
         img_prev, img_cur, img_next, mode=mode, threshold=int(threshold),
         count=count, tile_h=tile_h,
     )
     wp = center.shape[1]
+
+    def body():
+        return _tile_keypoints(
+            rw, center, i=i, rows=rows, row0=row0, mode=mode,
+            t=int(threshold), count=count, height=height, width=width,
+            tile_h=tile_h,
+        )
+
+    return wp, tile_has_candidates, body
+
+
+def _kernel(img_prev, img_cur, img_next, mask_out, score_out=None, *, mode: NonmaxMode,
+            threshold: int, count: int, height: int, width: int, tile_h: int):
+    wp, tile_has_candidates, tile_body = _tile_keep(
+        img_prev, img_cur, img_next, mode=mode, threshold=int(threshold),
+        count=count, height=height, width=width, tile_h=tile_h,
+    )
 
     @pl.when(jnp.logical_not(tile_has_candidates))
     def _():
@@ -205,11 +357,7 @@ def _kernel(img_prev, img_cur, img_next, mask_out, score_out=None, *, mode: Nonm
 
     @pl.when(tile_has_candidates)
     def _():
-        keep, s = _tile_keypoints(
-            rw, center, i=i, rows=rows, row0=row0, mode=mode,
-            t=int(threshold), count=count, height=height, width=width,
-            tile_h=tile_h,
-        )
+        keep, s = tile_body()
         mask_out[:, :] = keep.astype(jnp.uint16)
         if mode is not NonmaxMode.OFF:
             score_out[:, :] = s.astype(jnp.uint16)
@@ -218,10 +366,10 @@ def _kernel(img_prev, img_cur, img_next, mask_out, score_out=None, *, mode: Nonm
 def _tile_keypoints(rw, center, *, i, rows, row0,
                     mode: NonmaxMode, t: int, count: int, height: int,
                     width: int, tile_h: int):
-    """Arc test + score + nonmax for one tile.  Returns the tile's central
-    rows: (keep (tile_h, wp) bool, score (tile_h, wp) i32 — zeros in OFF
-    mode).  ``rw`` is the prefilter's _RolledWindow (its +-3 lane-rolls
-    are reused here)."""
+    """Arc test + score + nonmax for one score-mode tile (OFF routes
+    through _tile_keypoints_off_swar).  Returns the tile's central rows:
+    (keep (tile_h, wp) bool, score (tile_h, wp) i32).  ``rw`` is the
+    prefilter's _RolledWindow (its +-3 lane-rolls are reused here)."""
     wp = center.shape[1]
 
     # Both polarity rings ride ONE packed bit-plane per pixel — bright arc
@@ -251,10 +399,7 @@ def _tile_keypoints(rw, center, *, i, rows, row0,
         packed = jnp.zeros((rows, wp), jnp.int32)
     diffs = []
     sum_light = sum_dark = None
-    if mode is NonmaxMode.OFF:
-        hi = center + t
-        lo = center - t
-    elif mode is NonmaxMode.SUM_ABSOLUTE:
+    if mode is NonmaxMode.SUM_ABSOLUTE:
         sum_light = jnp.zeros((rows, wp), jnp.int32)
         sum_dark = jnp.zeros((rows, wp), jnp.int32)
     for k, (dx, dy) in enumerate(CIRCLE):
@@ -262,15 +407,12 @@ def _tile_keypoints(rw, center, *, i, rows, row0,
         if mode is NonmaxMode.MAX_THRESHOLD:
             diffs.append(center - p)
             continue
-        if mode is NonmaxMode.OFF:
-            bright = p > hi
-            dark = p < lo
-        else:  # SUM_ABSOLUTE: fused masked saturating accumulation
-            d = center - p
-            bright = d < -t
-            dark = d > t
-            sum_light = sum_light + jnp.where(d > t, d - t, 0)
-            sum_dark = sum_dark + jnp.where(-d > t, -d - t, 0)
+        # SUM_ABSOLUTE: fused masked saturating accumulation
+        d = center - p
+        bright = d < -t
+        dark = d > t
+        sum_light = sum_light + jnp.where(d > t, d - t, 0)
+        sum_dark = sum_dark + jnp.where(-d > t, -d - t, 0)
         packed = (
             packed
             | jnp.where(bright, jnp.int32(1 << k), 0)
@@ -293,9 +435,6 @@ def _tile_keypoints(rw, center, *, i, rows, row0,
         & (gx >= RADIUS) & (gx < width - RADIUS)
     )
     kp = arc_hit & interior
-
-    if mode is NonmaxMode.OFF:
-        return kp, jnp.zeros((tile_h, wp), jnp.int32)  # rows == tile_h
 
     if mode is NonmaxMode.MAX_THRESHOLD:
         score = jnp.minimum(jnp.abs(eh), jnp.abs(el))
@@ -446,10 +585,9 @@ def _pack_weights(wp: int):
 def _kernel_words(img_prev, img_cur, img_next, wmat, words_out, *,
                   mode: NonmaxMode, threshold: int, count: int, height: int,
                   width: int, tile_h: int):
-    i = pl.program_id(0)
-    rw, rows, row0, center, tile_has_candidates = _window_prefilter(
+    _, tile_has_candidates, tile_body = _tile_keep(
         img_prev, img_cur, img_next, mode=mode, threshold=int(threshold),
-        count=count, tile_h=tile_h,
+        count=count, height=height, width=width, tile_h=tile_h,
     )
 
     @pl.when(jnp.logical_not(tile_has_candidates))
@@ -458,11 +596,7 @@ def _kernel_words(img_prev, img_cur, img_next, wmat, words_out, *,
 
     @pl.when(tile_has_candidates)
     def _():
-        keep, _ = _tile_keypoints(
-            rw, center, i=i, rows=rows, row0=row0, mode=mode,
-            t=int(threshold), count=count, height=height, width=width,
-            tile_h=tile_h,
-        )
+        keep, _ = tile_body()
         wb = jax.lax.dot_general(
             keep.astype(jnp.bfloat16), wmat[:, :],
             dimension_numbers=(((1,), (0,)), ((), ())),

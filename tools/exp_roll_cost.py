@@ -60,19 +60,19 @@ def main() -> int:
 
     base = timeit("base")
 
-    orig_pref = fp._window_prefilter
+    orig_pref = fp._swar_window_prefilter
     orig_roll = fp._roll_cols
 
     def forced_pref(*a, **k):
-        rw, rows, row0, center, _ = orig_pref(*a, **k)
-        return rw, rows, row0, center, center[0, 0] < 9999  # always true
-    fp._window_prefilter = forced_pref
+        rw, cpw, hb, cw, _ = orig_pref(*a, **k)
+        return rw, cpw, hb, cw, cpw[0, 0] < 2**30  # always true (cpw < 2^24)
+    fp._swar_window_prefilter = forced_pref
     try:
         forced = timeit("forced")
         fp._roll_cols = lambda plane, dx: plane
         noroll = timeit("forced-noroll")
     finally:
-        fp._window_prefilter = orig_pref
+        fp._swar_window_prefilter = orig_pref
         fp._roll_cols = orig_roll
 
     print(f"roll cost: {forced - noroll:.4f} ms/frame "
