@@ -51,17 +51,70 @@ PATTERN: np.ndarray = _make_pattern()
 N_ANGLE_BINS = 30
 
 
+def _quadrant_decomposition():
+    """Each orientation bin's angle decomposes as 90 deg * q + rho with
+    rho in (-45, 45]; 90-degree rotations are exact integer-grid
+    isometries, so only the residual rho needs a rounded pattern table.
+    The 30 bins share just 15 distinct residuals (gcd structure of
+    12-degree steps vs 90-degree quadrants), which HALVES the steered
+    sampling matmul (see describe_patched).
+
+    Returns (quadrant (N_ANGLE_BINS,), residual_bin (N_ANGLE_BINS,),
+    residual_angles_deg (N_RESIDUAL,))."""
+    qs, rbs, residuals = [], [], []
+    for b in range(N_ANGLE_BINS):
+        theta = 360.0 * b / N_ANGLE_BINS
+        q = int(round(theta / 90.0)) % 4
+        rho = round(theta - 90.0 * round(theta / 90.0), 9)
+        if rho not in residuals:
+            residuals.append(rho)
+        qs.append(q)
+        rbs.append(residuals.index(rho))
+    return (np.asarray(qs, np.int32), np.asarray(rbs, np.int32),
+            np.asarray(residuals, np.float64))
+
+
+QUADRANT, RESIDUAL_BIN, _RESIDUAL_ANGLES = _quadrant_decomposition()
+N_RESIDUAL_BINS = len(_RESIDUAL_ANGLES)
+
+
+def _rot90_points(q: int, x: np.ndarray, y: np.ndarray):
+    """Rotate integer points by 90 deg * q (exact)."""
+    for _ in range(q % 4):
+        x, y = -y, x
+    return x, y
+
+
+def _make_residual_patterns() -> np.ndarray:
+    """(N_RESIDUAL_BINS, BITS, 2, 2) int32: the base pattern rotated to
+    each residual angle (rounded to the pixel grid, clipped to the patch)."""
+    out = np.zeros((N_RESIDUAL_BINS, BITS, 2, 2), np.int32)
+    x = PATTERN[..., 0]
+    y = PATTERN[..., 1]
+    for r, ang in enumerate(_RESIDUAL_ANGLES):
+        a = np.deg2rad(ang)
+        c, s = np.cos(a), np.sin(a)
+        out[r, ..., 0] = np.clip(np.round(c * x - s * y), -PATCH_R, PATCH_R)
+        out[r, ..., 1] = np.clip(np.round(s * x + c * y), -PATCH_R, PATCH_R)
+    return out
+
+
+RESIDUAL_PATTERNS: np.ndarray = _make_residual_patterns()
+
+
 def _make_rotated_patterns() -> np.ndarray:
-    """(N_ANGLE_BINS, BITS, 2, 2) int32: the base pattern rotated to each
-    quantized orientation (ORB's steered-BRIEF table)."""
+    """(N_ANGLE_BINS, BITS, 2, 2) int32: the steered-BRIEF table (ORB
+    style), DEFINED as the 90-degree isometries of the residual tables so
+    the quadrant-decomposed patched path (describe_patched) and the sparse
+    gather path (describe_oriented) sample identical positions.  (Direct
+    per-bin rounding differs on 87/30720 coords where cos/sin land samples
+    exactly on half-integers — the decomposition is the canonical table.)"""
     out = np.zeros((N_ANGLE_BINS, BITS, 2, 2), np.int32)
     for b in range(N_ANGLE_BINS):
-        a = 2.0 * np.pi * b / N_ANGLE_BINS
-        c, s = np.cos(a), np.sin(a)
-        x = PATTERN[..., 0]
-        y = PATTERN[..., 1]
-        out[b, ..., 0] = np.clip(np.round(c * x - s * y), -PATCH_R, PATCH_R)
-        out[b, ..., 1] = np.clip(np.round(s * x + c * y), -PATCH_R, PATCH_R)
+        rp = RESIDUAL_PATTERNS[RESIDUAL_BIN[b]]
+        x, y = _rot90_points(int(QUADRANT[b]), rp[..., 0], rp[..., 1])
+        out[b, ..., 0] = x
+        out[b, ..., 1] = y
     return out
 
 
@@ -312,9 +365,14 @@ _PATCH = 2 * PATCH_R + 1  # rows/cols of a descriptor patch
 
 
 @functools.lru_cache(maxsize=None)
-def _sampling_matrix(oriented: bool) -> np.ndarray:
+def _sampling_matrix(table: str = "plain") -> np.ndarray:
     """(n_bins, 2 * _PATCH**2, BITS) bf16-exact +-1/+-128 matrix turning a
     hi/lo-split flattened patch into per-bit sample differences.
+
+    ``table``: "plain" = the unrotated pattern (1 bin); "residual" = the
+    N_RESIDUAL_BINS quadrant-residual tables (steered path — the 90-degree
+    part of each orientation is applied by rotating the PATCH, an exact
+    integer isometry, so only 15 matrices are needed instead of 30).
 
     Column i carries +1 at pattern endpoint 2 and -1 at endpoint 1 (so
     ``diff > 0`` reproduces the sparse path's ``blur[o1] < blur[o2]``
@@ -324,7 +382,7 @@ def _sampling_matrix(oriented: bool) -> np.ndarray:
     blurred value, the rest multiply the low 7 — both operand halves are
     integers < 256, hence exact in bf16, and every accumulation stays far
     inside f32's integer range (|diff| <= 961 * 6375 < 2**23)."""
-    pats = ROTATED_PATTERNS if oriented else PATTERN[None]
+    pats = RESIDUAL_PATTERNS if table == "residual" else PATTERN[None]
     nb = pats.shape[0]
     d = np.zeros((nb, _PATCH * _PATCH, BITS), np.float32)
     for b in range(nb):
@@ -442,21 +500,26 @@ def describe_patched(
     # the blurred patch's spare high bits for the orientation moments.
     wins = patch_pallas.extract_windows_fused(
         image, feed_xy, interpret=interpret)
-    p = wins[:, :_PATCH, :_PATCH].reshape(-1, _PATCH * _PATCH)
-    raw = p >> patch_pallas.RAW_SHIFT
-    p = p & ((1 << patch_pallas.RAW_SHIFT) - 1)
-    feat = jnp.concatenate(
-        [(p >> 7).astype(jnp.bfloat16), (p & 127).astype(jnp.bfloat16)],
-        axis=1,
-    )  # (K, 2 * _PATCH**2), both halves bf16-exact
-    d = jnp.asarray(_sampling_matrix(oriented), jnp.bfloat16)
-    diff = jnp.einsum(
-        "kp,bpi->kbi", feat, d, preferred_element_type=jnp.float32
-    )  # (K, n_bins, BITS), exact integers
+    pr = wins[:, :_PATCH, :_PATCH]  # (K, 31, 31) blur | raw << RAW_SHIFT
+    blur_mask = (1 << patch_pallas.RAW_SHIFT) - 1
+
+    def _feat(patches):  # hi/lo bf16-exact split of flattened patches
+        p = patches.reshape(-1, _PATCH * _PATCH)
+        return jnp.concatenate(
+            [(p >> 7).astype(jnp.bfloat16), (p & 127).astype(jnp.bfloat16)],
+            axis=1,
+        )
+
     if oriented:
         # Moments from the raw patches (bit-identical to orientation_bins
-        # — see _moment_matrix), then a bin-one-hot select of the matching
-        # orientation's sample differences.
+        # — see _moment_matrix) give the 30-bin orientation; it splits as
+        # quadrant x residual (see _quadrant_decomposition).  The quadrant
+        # is applied by ROTATING THE PATCH — an exact 90-degree isometry
+        # (transpose/flip relayouts + a 4-way select) — so the sampling
+        # matmul only spans the 15 residual matrices, then a residual-bin
+        # one-hot selects each keypoint's row: HALF the steered-matmul
+        # FLOPs for identical bits (rounding commutes with the isometry).
+        raw = (pr >> patch_pallas.RAW_SHIFT).reshape(-1, _PATCH * _PATCH)
         m = jnp.einsum(
             "kp,pm->km",
             raw.astype(jnp.bfloat16),
@@ -468,12 +531,30 @@ def describe_patched(
             jnp.round(angle / (2.0 * jnp.pi) * N_ANGLE_BINS).astype(jnp.int32),
             N_ANGLE_BINS,
         )
-        onehot = (bins[:, None] == jnp.arange(d.shape[0])[None, :]).astype(
+        q = jnp.asarray(QUADRANT)[bins]
+        rb = jnp.asarray(RESIDUAL_BIN)[bins]
+        # rot[q][r, c] = patch[ISO_q(point at (r, c))]: q=1 -> patch[c, 30-r],
+        # q=2 -> patch[30-r, 30-c], q=3 -> patch[30-c, r].
+        pb = pr & blur_mask
+        t = pb.swapaxes(1, 2)
+        qv = q[:, None, None]
+        sel = jnp.where(qv == 1, jnp.flip(t, 1), pb)
+        sel = jnp.where(qv == 2, jnp.flip(jnp.flip(pb, 1), 2), sel)
+        sel = jnp.where(qv == 3, jnp.flip(t, 2), sel)
+        d = jnp.asarray(_sampling_matrix("residual"), jnp.bfloat16)
+        diff = jnp.einsum(
+            "kp,bpi->kbi", _feat(sel), d, preferred_element_type=jnp.float32
+        )  # (K, N_RESIDUAL_BINS, BITS), exact integers
+        onehot = (rb[:, None] == jnp.arange(d.shape[0])[None, :]).astype(
             jnp.float32
         )
         diff = (diff * onehot[:, :, None]).sum(axis=1)
     else:
-        diff = diff[:, 0]
+        d = jnp.asarray(_sampling_matrix("plain")[0], jnp.bfloat16)
+        diff = jnp.einsum(
+            "kp,pi->ki", _feat(pr & blur_mask), d,
+            preferred_element_type=jnp.float32,
+        )  # (K, BITS), exact integers
     desc = _pack_bits(diff > 0)
     if inv is not None:  # restore slot order (cheap: (K, WORDS) gather)
         desc = desc[inv]
