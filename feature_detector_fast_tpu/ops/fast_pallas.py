@@ -161,15 +161,15 @@ class _RolledWindow:
 
 
 def _swar_window_prefilter(img_prev, img_cur, img_next, *, threshold: int,
-                           count: int, tile_h: int):
-    """OFF-mode tile preamble, SWAR pixel-pair form.
+                           count: int, tile_h: int, halo_rows: int = 0):
+    """SWAR pixel-pair tile preamble (OFF and SUM_ABSOLUTE modes).
 
-    OFF mode has no scores and no nonmax, so the whole tile body is u8
-    compares + bit packing — and those process TWO pixels per i32 lane by
-    packing tile row r and row r + tile_h/2 into the low/high 16-bit
-    fields of one plane (the TPU analogue of widening the reference's
-    16-lane AVX2 loop, fast_simd.rs:368-379, to 32 lanes).  The strict
-    compares become field-local bit-9 tests:
+    These modes' tap loops are u8 compares + bit packing (+ bounded sums
+    for SA) — and those process TWO pixels per i32 lane by packing
+    computed row r and row r + half into the low/high 16-bit fields of
+    one plane (the TPU analogue of widening the reference's 16-lane AVX2
+    loop, fast_simd.rs:368-379, to 32 lanes).  The strict compares become
+    field-local bit-9 tests:
 
         p > c + t  <=>  p + (511 - c - t) >= 512      (bright)
         p < c - t  <=>  (c + 511 - t) - p >= 512      (dark)
@@ -182,25 +182,29 @@ def _swar_window_prefilter(img_prev, img_cur, img_next, *, threshold: int,
     (_packed_any_window_all) is already field-local, so it runs unchanged
     on the paired planes.
 
+    ``halo_rows``: extra computed rows above/below the tile (1 for SA's
+    nonmax halo, 0 for OFF); computed rows span
+    [-halo_rows, tile_h + halo_rows), paired as r (low field) and
+    r + half (high field) with half = tile_h/2 + halo_rows.
+
     Returns (rw, cpw, hb, cw, tile_has_candidates): ``rw`` taps the packed
-    window (rows=_SWAR_ROWS, row0=_SWAR_ROW0), ``cpw`` is the packed
-    center plane, ``hb``/``cw`` the precomputed per-pixel bias planes."""
+    window (rows=half, row0=RADIUS), ``cpw`` is the packed center plane,
+    ``hb``/``cw`` the precomputed per-pixel bias planes."""
     t = int(threshold)
-    half = tile_h // 2
-    # W[i] = image row (tile_start - HALO + i); u8.  Fields pair tile rows
-    # r (low) and r + half (high): low needs W[HALO-3 .. HALO+half+3), high
-    # W[HALO+half-3 .. HALO+tile_h+3) — top halo 4 rows from prev, bottom
-    # HALO + 4 rows from next.
+    half = tile_h // 2 + int(halo_rows)
+    # W[i] = image row (tile_start - HALO + i); u8.  Computed row r sits
+    # at W[HALO - halo_rows + r]; the packed window pairs W[base + j] with
+    # W[base + half + j], base = HALO - halo_rows - RADIUS, covering every
+    # tap row of both fields.
     w8 = jnp.concatenate(
         [img_prev[tile_h - _HALO :, :], img_cur[:, :],
          img_next[: _HALO + 4, :]],
         axis=0,
     )
+    base = _HALO - int(halo_rows) - RADIUS
     n = half + 2 * RADIUS + 2  # packed rows (slack to an even 8-multiple)
-    lo = jax.lax.slice_in_dim(w8, _HALO - RADIUS, _HALO - RADIUS + n, axis=0)
-    hi = jax.lax.slice_in_dim(
-        w8, _HALO + half - RADIUS, _HALO + half - RADIUS + n, axis=0
-    )
+    lo = jax.lax.slice_in_dim(w8, base, base + n, axis=0)
+    hi = jax.lax.slice_in_dim(w8, base + half, base + half + n, axis=0)
     pw = lo.astype(jnp.int32) | (hi.astype(jnp.int32) << 16)
     rw = _RolledWindow(pw)
     cpw = jax.lax.slice_in_dim(pw, RADIUS, RADIUS + half, axis=0)
@@ -258,12 +262,88 @@ def _tile_keypoints_off_swar(rw, cpw, hb, cw, *, i, t: int, count: int,
     return arc_hit & interior
 
 
+def _tile_keypoints_sa_swar(rw, cpw, hb, cw, *, i, t: int, count: int,
+                            height: int, width: int, tile_h: int):
+    """SUM_ABSOLUTE arc test + score on SWAR pixel-pair planes.
+
+    The SAD score (reference 2.6b, fast_simd.rs:720-749) is a bounded
+    masked accumulation — sums of (|d| - t) over at most 16 taps stay
+    below 4096 — so it rides the same 16-bit fields as the arc bits: the
+    predicate bit expands to a whole-field mask (one multiply by 0xFFFF),
+    and the masked value (q - 511 = |d| - t, >= 1 when set) accumulates
+    borrow-free.  Scores and arc hits unpack to full-height planes only
+    for the 3x3 nonmax.  Returns (keep, score) (tile_h, wp) as
+    _tile_keypoints does."""
+    half = tile_h // 2 + 1
+    wp = cpw.shape[1]
+    m9 = _i32c(0x200 * _FF)
+    c511 = _i32c(511 * _FF)
+    bright = dark = None
+    sum_light = sum_dark = None
+    for k, (dx, dy) in enumerate(CIRCLE):
+        p = rw.tap(dx, dy, rows=half, row0=RADIUS)
+        q = p + hb   # bit 9: p > c + t; q - 511 = p - c - t
+        r = cw - p   # bit 9: p < c - t; r - 511 = c - p - t
+        b = _bit9_to_k(q, k)
+        d = _bit9_to_k(r, k)
+        bright = b if bright is None else bright | b
+        dark = d if dark is None else dark | d
+        fb = ((q & m9) >> 9) * 0xFFFF  # full-field mask of the bright bit
+        fd = ((r & m9) >> 9) * 0xFFFF
+        sd = (q & fb) - (c511 & fb)  # p - c - t where p > c + t, else 0
+        sl = (r & fd) - (c511 & fd)  # c - p - t where p < c - t, else 0
+        sum_light = sl if sum_light is None else sum_light + sl
+        sum_dark = sd if sum_dark is None else sum_dark + sd
+    a = (
+        _packed_any_window_all(bright, count)
+        | _packed_any_window_all(dark, count)
+    )
+
+    def unpack_fields(v):
+        return jnp.concatenate([v & 0xFFFF, (v >> 16) & 0xFFFF], axis=0)
+
+    rows = tile_h + 2
+    arc_hit = unpack_fields(a) != 0
+    score = jnp.maximum(unpack_fields(sum_light), unpack_fields(sum_dark))
+
+    gy = (i * tile_h - 1) + jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 0)
+    gx = jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 1)
+    interior = (
+        (gy >= RADIUS) & (gy < height - RADIUS)
+        & (gx >= RADIUS) & (gx < width - RADIUS)
+    )
+    kp = arc_hit & interior
+    return _nonmax_select(kp, score, gy, rows=rows, tile_h=tile_h,
+                          height=height)
+
+
+def _nonmax_select(kp, score, gy, *, rows: int, tile_h: int, height: int):
+    """3x3 strict-max nonmax with the reference border quirks; computed on
+    the full (rows, wp) plane with sublane/lane rolls (roll wraparound
+    only touches the halo rows, which the final central slice discards).
+    Returns (keep, score) sliced to the tile's central tile_h rows."""
+    wp = kp.shape[1]
+    s = jnp.where(kp, score, 0)
+    neigh = jnp.full((rows, wp), -1, jnp.int32)
+    for dy in (-1, 0, 1):
+        base = s if dy == 0 else pltpu.roll(s, (-dy) % rows, axis=0)
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            neigh = jnp.maximum(neigh, _roll_cols(base, dx))
+    keep = kp & (s > neigh) & (gy != RADIUS) & (gy != height - RADIUS - 1)
+    return (
+        jax.lax.slice_in_dim(keep, 1, 1 + tile_h, axis=0),
+        jax.lax.slice_in_dim(s, 1, 1 + tile_h, axis=0),
+    )
+
+
 def _window_prefilter(img_prev, img_cur, img_next, *, mode: NonmaxMode,
                       threshold: int, count: int, tile_h: int):
-    """Score-mode tile preamble (OFF routes through _swar_window_prefilter):
-    build the halo window and run the cardinal prefilter.  Returns
-    (rw, rows, row0, center, tile_has_candidates), where ``rw`` is the
-    roll-sharing tap factory (_RolledWindow)."""
+    """MAX_THRESHOLD tile preamble (OFF/SUM_ABSOLUTE route through
+    _swar_window_prefilter): build the halo window and run the cardinal
+    prefilter.  Returns (rw, rows, row0, center, tile_has_candidates),
+    where ``rw`` is the roll-sharing tap factory (_RolledWindow)."""
     # (tile_h + 8)-row window around this tile, int32.
     window = jnp.concatenate(
         [
@@ -306,23 +386,29 @@ def _tile_keep(img_prev, img_cur, img_next, *, mode: NonmaxMode,
                tile_h: int):
     """Shared kernel body: prefilter + (on candidates) arc/score/nonmax.
     Returns (wp, tile_has_candidates, body) where body() -> (keep, score)
-    for the tile's central rows.  OFF mode routes through the SWAR
-    pixel-pair path (two pixels per i32 lane); score modes through the
-    windowed-score path."""
+    for the tile's central rows.  OFF and SUM_ABSOLUTE route through the
+    SWAR pixel-pair paths (two pixels per i32 lane); MAX_THRESHOLD
+    through the windowed-score path."""
     i = pl.program_id(0)
-    if mode is NonmaxMode.OFF:
+    if mode is not NonmaxMode.MAX_THRESHOLD:
+        halo_rows = 0 if mode is NonmaxMode.OFF else 1
         rw, cpw, hb, cw, tile_has_candidates = _swar_window_prefilter(
             img_prev, img_cur, img_next, threshold=int(threshold),
-            count=count, tile_h=tile_h,
+            count=count, tile_h=tile_h, halo_rows=halo_rows,
         )
         wp = cpw.shape[1]
 
         def body():
-            keep = _tile_keypoints_off_swar(
+            if mode is NonmaxMode.OFF:
+                keep = _tile_keypoints_off_swar(
+                    rw, cpw, hb, cw, i=i, t=int(threshold), count=count,
+                    height=height, width=width, tile_h=tile_h,
+                )
+                return keep, None
+            return _tile_keypoints_sa_swar(
                 rw, cpw, hb, cw, i=i, t=int(threshold), count=count,
                 height=height, width=width, tile_h=tile_h,
             )
-            return keep, None
 
         return wp, tile_has_candidates, body
 
@@ -366,68 +452,36 @@ def _kernel(img_prev, img_cur, img_next, mask_out, score_out=None, *, mode: Nonm
 def _tile_keypoints(rw, center, *, i, rows, row0,
                     mode: NonmaxMode, t: int, count: int, height: int,
                     width: int, tile_h: int):
-    """Arc test + score + nonmax for one score-mode tile (OFF routes
-    through _tile_keypoints_off_swar).  Returns the tile's central rows:
-    (keep (tile_h, wp) bool, score (tile_h, wp) i32).  ``rw`` is the
-    prefilter's _RolledWindow (its +-3 lane-rolls are reused here)."""
+    """Arc test + score + nonmax for one MAX_THRESHOLD tile (OFF and
+    SUM_ABSOLUTE route through the SWAR pixel-pair paths).  Returns the
+    tile's central rows: (keep (tile_h, wp) bool, score (tile_h, wp)
+    i32).  ``rw`` is the prefilter's _RolledWindow (its +-3 lane-rolls
+    are reused here).
+
+    MAX_THRESHOLD skips the packed arc test ENTIRELY: its score pyramids
+    already decide candidacy exactly.  A dark arc of `count` consecutive
+    taps (p < c-t, i.e. d > t strictly) exists iff some window's min diff
+    exceeds t — i.e. eh = max-of-window-mins > t; a bright arc (d < -t)
+    exists iff some window's max diff is below -t — el =
+    min-of-window-maxes < -t.  So arc_hit == (eh > t) | (el < -t),
+    bit-identical to _packed_any_window_all (differential tests +
+    tools/tpu_acceptance.py), and the MT tap loop degenerates to 16 bare
+    subtracts — no compares, no bit packing, no run-doubling chain.  Taps
+    are consumed streaming (one at a time), never kept as a 16-plane list
+    alongside the diff planes (VMEM).  MT stays at full-width lanes: its
+    window min/max pyramids (and every mode's nonmax) need per-field
+    min/max, which 16-bit-field SWAR cannot express."""
     wp = center.shape[1]
 
-    # Both polarity rings ride ONE packed bit-plane per pixel — bright arc
-    # bits 0-15, dark arc bits 16-31 (tap k -> bit k) — so the wraparound
-    # n-consecutive test is a handful of field-rotation/AND steps instead
-    # of a 16-plane boolean pyramid (see _packed_any_window_all).  Taps are
-    # consumed streaming (one at a time), never kept as a 16-plane list:
-    # SUM_ABSOLUTE needs center-tap differences anyway, so it derives the
-    # arc bits from d = center - p (p > c+t <=> d < -t, exact in i32) and
-    # keeps only the diff planes live — keeping BOTH taps and diffs put
-    # MaxThreshold 32-row tiles over the 16 MB scoped-VMEM limit for some
-    # counts.  OFF mode compares against precomputed c+-t bounds instead
-    # (the reference's saturating-bounds trick, fast_simd.rs:406-407), two
-    # compares per tap with no subtract.
-    #
-    # MAX_THRESHOLD skips the packed arc test ENTIRELY: its score pyramids
-    # already decide candidacy exactly.  A dark arc of `count` consecutive
-    # taps (p < c-t, i.e. d > t strictly) exists iff some window's min diff
-    # exceeds t — i.e. eh = max-of-window-mins > t; a bright arc (d < -t)
-    # exists iff some window's max diff is below -t — el =
-    # min-of-window-maxes < -t.  So arc_hit == (eh > t) | (el < -t),
-    # bit-identical to _packed_any_window_all (differential tests +
-    # tools/tpu_acceptance.py), and the MT tap loop degenerates to 16
-    # subtracts — no compares, no bit packing, no run-doubling chain.
-    packed = None
-    if mode is not NonmaxMode.MAX_THRESHOLD:
-        packed = jnp.zeros((rows, wp), jnp.int32)
     diffs = []
-    sum_light = sum_dark = None
-    if mode is NonmaxMode.SUM_ABSOLUTE:
-        sum_light = jnp.zeros((rows, wp), jnp.int32)
-        sum_dark = jnp.zeros((rows, wp), jnp.int32)
-    for k, (dx, dy) in enumerate(CIRCLE):
-        p = rw.tap(dx, dy, rows, row0)
-        if mode is NonmaxMode.MAX_THRESHOLD:
-            diffs.append(center - p)
-            continue
-        # SUM_ABSOLUTE: fused masked saturating accumulation
-        d = center - p
-        bright = d < -t
-        dark = d > t
-        sum_light = sum_light + jnp.where(d > t, d - t, 0)
-        sum_dark = sum_dark + jnp.where(-d > t, -d - t, 0)
-        packed = (
-            packed
-            | jnp.where(bright, jnp.int32(1 << k), 0)
-            | jnp.where(dark, jnp.int32(_i32c(1 << (16 + k))), 0)
-        )
-    eh = el = None
-    if mode is NonmaxMode.MAX_THRESHOLD:
-        eh = windows.ring_max_of_window_min(diffs, count, jnp.minimum, jnp.maximum)
-        el = windows.ring_min_of_window_max(diffs, count, jnp.minimum, jnp.maximum)
-        arc_hit = (eh > t) | (el < -t)
-    else:
-        arc_hit = _packed_any_window_all(packed, count) != 0
+    for dx, dy in CIRCLE:
+        diffs.append(center - rw.tap(dx, dy, rows, row0))
+    eh = windows.ring_max_of_window_min(diffs, count, jnp.minimum, jnp.maximum)
+    el = windows.ring_min_of_window_max(diffs, count, jnp.minimum, jnp.maximum)
+    arc_hit = (eh > t) | (el < -t)
 
     # Interior mask: global x in [3, W-4], y in [3, H-4].
-    off = row0 - _HALO  # tile row of the first computed row (0 or -1)
+    off = row0 - _HALO  # tile row of the first computed row (-1)
     gy = (i * tile_h + off) + jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 0)
     gx = jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 1)
     interior = (
@@ -435,31 +489,9 @@ def _tile_keypoints(rw, center, *, i, rows, row0,
         & (gx >= RADIUS) & (gx < width - RADIUS)
     )
     kp = arc_hit & interior
-
-    if mode is NonmaxMode.MAX_THRESHOLD:
-        score = jnp.minimum(jnp.abs(eh), jnp.abs(el))
-    else:  # SUM_ABSOLUTE (sums accumulated in the tap loop above)
-        score = jnp.maximum(sum_light, sum_dark)
-
-    s = jnp.where(kp, score, 0)
-
-    # 3x3 strict-max nonmax, computed on the full 34-row plane with sublane
-    # rolls (Mosaic handles rolls better than overlapping offset slices);
-    # roll wraparound only touches the two halo rows, which are discarded
-    # by the final central slice.
-    neigh = jnp.full((rows, wp), -1, jnp.int32)
-    for dy in (-1, 0, 1):
-        base = s if dy == 0 else pltpu.roll(s, (-dy) % rows, axis=0)
-        for dx in (-1, 0, 1):
-            if dy == 0 and dx == 0:
-                continue
-            neigh = jnp.maximum(neigh, _roll_cols(base, dx))
-    keep = kp & (s > neigh) & (gy != RADIUS) & (gy != height - RADIUS - 1)
-
-    return (
-        jax.lax.slice_in_dim(keep, 1, 1 + tile_h, axis=0),
-        jax.lax.slice_in_dim(s, 1, 1 + tile_h, axis=0),
-    )
+    score = jnp.minimum(jnp.abs(eh), jnp.abs(el))
+    return _nonmax_select(kp, score, gy, rows=rows, tile_h=tile_h,
+                          height=height)
 
 
 def _pad_to(x: int, m: int) -> int:
