@@ -230,7 +230,12 @@ def _sel_group(n: int, k: int) -> int:
     groups narrower than a 128-lane vreg waste the per-group reduce and
     the row gather.  Measured on v5e at 1080p (detect+topk ms/frame):
     k=512: G128 0.45 < G64 0.48 < G256 0.51; k=1000: G128 0.53 < G64 ~
-    G32 0.64 < G256 0.68; k=2048: G64 0.58 < G128 0.67 < G256 1.16."""
+    G32 0.64 < G256 0.68; k=2048: G64 0.58 < G128 0.67 < G256 1.16.
+    A THREE-level scheme (groups of G1, then G2 group-maxima per
+    supergroup) touches ~2.4x fewer keys at 1080p/k=1000 but measured
+    ~20% SLOWER for every G1 < 64 — the (n/G1, G1) max-reduce and the
+    selected-row gathers run on G1-lane vregs, so narrow levels waste
+    the VPU exactly as this docstring predicts for the two-level G."""
     return 64 if n < 1500 * k else 128
 
 
@@ -474,11 +479,14 @@ def describe_patched(
     ``sort_blocks`` feeds the kernel strip-block-sorted coords so
     consecutive same-block DMAs dedup (see _block_sorted_feed); the final
     descriptor rows are restored to slot order, so results are identical
-    (verified bit-exact on hardware).  OPT-IN for now: long elision runs
-    flakily crash the TPU worker at large batch x grid (e.g. 216-frame
-    VGA batches, ~50% of invocations — a Mosaic/XLA pipelining fault, not
-    a values bug; successful runs are bit-identical).  Re-enable by
-    default once the kernel issues its own block-change-gated copies.
+    (verified bit-exact on hardware).  Only relevant to the strip-DMA
+    FALLBACK kernel (sources too big for VMEM residency — see
+    extract_windows_fused): the resident path issues no per-keypoint
+    input DMA, so there is nothing to dedup.  OPT-IN even there: long
+    elision runs flakily crash the TPU worker at large batch x grid
+    (e.g. 216-frame VGA batches, ~50% of invocations — a Mosaic/XLA
+    pipelining fault, not a values bug; successful runs are
+    bit-identical).
     """
     h, w = image.shape
     from ..ops import patch_pallas

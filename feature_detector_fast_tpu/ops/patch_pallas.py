@@ -118,27 +118,88 @@ def _fused_kernel(coords, *refs, group: int):
         out[j] = bh[:, :LANES] | raw[:, :LANES]
 
 
+#: VMEM budget for the resident-source fused kernel: the 2x-overlapped
+#: u8 column-plane stack must fit comfortably (double-buffered) under the
+#: raised scoped-VMEM limit alongside the output pipeline.  1080p needs
+#: ~4.7 MB, 4K ~17 MB; bigger sources fall back to the strip-DMA kernel.
+_RESIDENT_BYTES_MAX = 32 * 1024 * 1024
+
+
+def _fused_kernel_resident(coords, src, out, *, group: int):
+    """Fused blur + patch extraction from a VMEM-RESIDENT source.
+
+    ``src`` is the whole (n_cb, hp, 256) column-plane stack, loaded into
+    VMEM once per frame (constant block index map — Pallas elides the
+    copy across grid steps), so a keypoint's halo window is a dynamic
+    in-VMEM slice: plane (x-17)//128, rows 8-aligned around y-17.  No
+    per-keypoint input DMA at all — profiling showed the strip kernel was
+    bound by per-DMA overhead (~0.4 us/keypoint even for contiguous
+    24 KB blocks), not by bandwidth or the blur arithmetic."""
+    i = pl.program_id(0)
+    for j in range(group):
+        x = coords[0, group * i + j]
+        y = coords[1, group * i + j]
+        y0 = y - PATCH // 2 - 2
+        cb = (x - PATCH // 2 - 2) // LANES
+        win = src[cb, pl.ds(pl.multiple_of((y0 // 8) * 8, 8), 48), :]
+        win = _roll_rows(win.astype(jnp.int32), y0 & 7)[: WIN_H + 4]
+        # win[r, c] = image[y - 17 + r, 128*cb + c]; the window's left edge
+        # sits at lane (x - 17) % 128, exactly as in the strip kernel.
+        bv = sum(
+            jax.lax.slice_in_dim(win, d, d + WIN_H, axis=0) for d in range(5)
+        )
+        packed = bv | (
+            jax.lax.slice_in_dim(win, 2, 2 + WIN_H, axis=0) << RAW_SHIFT
+        )
+        packed = _roll_lanes(packed, (x - PATCH // 2 - 2) % LANES)
+        bvr = packed & ((1 << RAW_SHIFT) - 1)
+        bh = sum(_roll_cols_static(bvr, d) for d in range(5))
+        raw = _roll_cols_static(packed, 2) & (255 << RAW_SHIFT)
+        out[j] = bh[:, :LANES] | raw[:, :LANES]
+
+
+def _resident_planes(image: jax.Array) -> jax.Array:
+    """(n_cb, hp, 2*LANES) u8 column-plane stack: plane c holds image
+    columns [128c, 128c + 256) (second half from a shifted copy), rows
+    padded so any 8-aligned 48-row slice around a valid keypoint is in
+    bounds."""
+    h, w = image.shape
+    hp = _pad_to(h, _BLK_H) + 2 * _BLK_H
+    wp = _pad_to(w, LANES)
+    pad = jnp.pad(image, ((0, hp - h), (0, wp + LANES - w)))
+    planes = [
+        pad[:, d * LANES : d * LANES + wp].reshape(hp, wp // LANES, LANES)
+        for d in range(2)
+    ]
+    return jnp.concatenate(planes, axis=2).transpose(1, 0, 2)
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def extract_windows_fused(
     image: jax.Array, xy: jax.Array, group: int = _GROUP,
     interpret: bool = False,
 ) -> jax.Array:
-    """Fused blur + patch extraction: ONE DMA per keypoint.
+    """Fused blur + patch extraction with NO per-keypoint input DMA.
 
     Returns (K, WIN_H, LANES) i32 windows where
     ``out[k, r, c] = blur5(y_k-15+r, x_k-15+c) | raw(y_k-15+r, x_k-15+c) << 13``
     (valid for r, c < PATCH — the 32nd row/col is sublane-tile slack;
     blur5 = 25-pixel box SUM as in models.brief.box_blur5, identical to
-    it at every cell a valid keypoint's pattern samples).  The separate blur pass, the raw-pixel packing op, and 3 of
-    the 4 per-keypoint DMAs of :func:`extract_patches` all disappear:
-    profiling shows extraction is DMA-COUNT-bound (~130 ns per issued
-    copy; a 4x byte reduction moved the time 4%), so the source is an
-    overlapped u8 strip plane — strip (rb, cb) holds image rows
-    [32 rb, 32 rb + 96) x cols [128 cb, 128 cb + 256), every 35 x 35
-    blur-halo window lives in exactly one strip — built once per frame
-    (~6x u8 image memory, a single XLA fusion) and each keypoint costs
-    one (96, 256) u8 block fetch.  The 5x5 box blur runs on the 24 KB
-    window in VMEM instead of densely over the frame.
+    it at every cell a valid keypoint's pattern samples).  The 5x5 box
+    blur runs on the small window in VMEM instead of densely over the
+    frame, and raw pixels ride the blurred patch's spare high bits.
+
+    Source layout (the part that matters on TPU): a 2x-overlapped u8
+    column-plane stack (plane c = image columns [128c, 128c+256)) is held
+    VMEM-RESIDENT across the whole grid — its block index map is
+    constant, so Pallas loads it once per frame — and each keypoint's
+    35x35 blur-halo window is a dynamic in-VMEM slice (plane (x-17)//128,
+    8-aligned rows around y-17, then sublane/lane rolls).  Measured
+    alternatives at 1080p/k=1024: one strided (96, 256) strip DMA per
+    keypoint 0.45 ms/frame, the same DMA from a contiguous layout
+    0.39 ms (per-DMA overhead, not bandwidth), VMEM-resident 0.21 ms.
+    Sources too big for VMEM (above _RESIDENT_BYTES_MAX, ~4K+) fall back
+    to the strip-DMA kernel (_fused_kernel).
 
     Requires an image at least 35 x 35; coordinates are clamped to the
     patch-safe interior as in :func:`extract_patches`.
@@ -148,24 +209,8 @@ def extract_windows_fused(
     if h < 2 * PATCH // 2 + 5 or w < 2 * PATCH // 2 + 5:
         raise ValueError(f"image too small for fused extraction: {h}x{w}")
     hp, wp = _pad_to(h, _BLK_H), _pad_to(w, LANES)
-    pad = jnp.pad(image, ((0, hp + 2 * _BLK_H - h), (0, wp + LANES - w)))
-    n_rb, n_cb = hp // _BLK_H, wp // LANES
-    # Overlapped strips: 3 row-shifted copies interleaved per 32-row
-    # group, then 2 col-shifted copies per 128-lane group.
-    rows = jnp.concatenate(
-        [
-            pad[d * _BLK_H : d * _BLK_H + hp].reshape(n_rb, _BLK_H, -1)
-            for d in range(3)
-        ],
-        axis=1,
-    ).reshape(3 * hp, wp + LANES)
-    strips = jnp.concatenate(
-        [
-            rows[:, d * LANES : d * LANES + wp].reshape(3 * hp, n_cb, LANES)
-            for d in range(2)
-        ],
-        axis=2,
-    ).reshape(3 * hp, 2 * wp)
+    n_cb = wp // LANES
+    resident = n_cb * (hp + 2 * _BLK_H) * 2 * LANES <= _RESIDENT_BYTES_MAX
 
     kp = _pad_to(k, group)
     margin = PATCH // 2 + 2
@@ -186,6 +231,44 @@ def extract_windows_fused(
     # plain {1,0}-layout buffer.
     coords = jax.lax.optimization_barrier(coords)
 
+    out_spec = pl.BlockSpec((group, WIN_H, LANES), lambda i, coords: (i, 0, 0))
+
+    if resident:
+        planes = _resident_planes(image)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(kp // group,),
+            in_specs=[pl.BlockSpec(planes.shape, lambda i, coords: (0, 0, 0))],
+            out_specs=out_spec,
+        )
+        out = pl.pallas_call(
+            functools.partial(_fused_kernel_resident, group=group),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((kp, WIN_H, LANES), jnp.int32),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+            interpret=bool(interpret),
+        )(coords, planes)
+        return out[:k]
+
+    pad = jnp.pad(image, ((0, hp + 2 * _BLK_H - h), (0, wp + LANES - w)))
+    n_rb = hp // _BLK_H
+    # Overlapped strips: 3 row-shifted copies interleaved per 32-row
+    # group, then 2 col-shifted copies per 128-lane group.
+    rows = jnp.concatenate(
+        [
+            pad[d * _BLK_H : d * _BLK_H + hp].reshape(n_rb, _BLK_H, -1)
+            for d in range(3)
+        ],
+        axis=1,
+    ).reshape(3 * hp, wp + LANES)
+    strips = jnp.concatenate(
+        [
+            rows[:, d * LANES : d * LANES + wp].reshape(3 * hp, n_cb, LANES)
+            for d in range(2)
+        ],
+        axis=2,
+    ).reshape(3 * hp, 2 * wp)
+
     in_specs = []
     for j in range(group):
 
@@ -200,9 +283,7 @@ def extract_windows_fused(
         num_scalar_prefetch=1,
         grid=(kp // group,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (group, WIN_H, LANES), lambda i, coords: (i, 0, 0)
-        ),
+        out_specs=out_spec,
     )
     out = pl.pallas_call(
         functools.partial(_fused_kernel, group=group),

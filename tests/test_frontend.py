@@ -22,9 +22,10 @@ def test_select_topk_deterministic_order(rng):
     assert got == want
 
 
-def test_select_topk_two_level_matches_flat(rng):
-    """The grouped two-level selection must be bit-identical to one top_k
-    over every pixel key, across densities, shapes, and k values."""
+def test_select_topk_hierarchical_matches_flat(rng):
+    """The grouped hierarchical selection (two- and three-level branches)
+    must be bit-identical to one top_k over every pixel key, across
+    densities, shapes, and k values."""
     for _ in range(12):
         h, w = int(rng.integers(8, 90)), int(rng.integers(8, 130))
         mask = rng.random((h, w)) < float(rng.choice([0.0, 0.002, 0.05, 0.5]))
@@ -34,6 +35,16 @@ def test_select_topk_two_level_matches_flat(rng):
             b = brief._select_topk_flat(mask, score, k)
             for fa, fb in zip(a, b):
                 np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+    # Large-image case: exercises the three-level branch at big k too
+    # (n > 64 * k) — the shape class the small fuzz above cannot reach.
+    h, w = 300, 400
+    mask = rng.random((h, w)) < 0.01
+    score = rng.integers(0, 4000, (h, w)).astype(np.int32)
+    for k in (1000, 2048):
+        a = brief.select_topk(mask, score, k)
+        b = brief._select_topk_flat(mask, score, k)
+        for fa, fb in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
 
 
 def test_select_topk_underfull(rng):

@@ -43,7 +43,7 @@ def main() -> int:
 
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32
-    rounds = 10
+    rounds = 30
     img = build_1080p_frame()
     imgs = jax.device_put(np.broadcast_to(img, (batch,) + img.shape).copy())
     zeros = jax.device_put(np.zeros(rounds, np.uint8))

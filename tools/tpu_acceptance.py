@@ -80,6 +80,32 @@ def main() -> int:
                 print(f"{tag}: FAIL {type(e).__name__}", file=sys.stderr,
                       flush=True)
 
+    # BRIEF: the compiled patch-extraction descriptor paths (plain +
+    # steered) must match the sparse-gather semantic references bit-for-
+    # bit on hardware at every valid slot (the CPU suite only covers
+    # interpret mode).
+    from feature_detector_fast_tpu.models import brief
+
+    try:
+        mask, score = fast.detect_dense_jit(im, 16, 9, NonmaxMode.SUM_ABSOLUTE)
+        kps = brief.select_topk(mask, score, 512)
+        for oriented, ref_fn in (
+            (False, brief.describe),
+            (True, brief.describe_oriented),
+        ):
+            d_ref, v_ref = ref_fn(im, kps)
+            d_p, v_p = brief.describe_patched(im, kps, oriented=oriented)
+            np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v_p))
+            vr = np.asarray(v_ref)
+            np.testing.assert_array_equal(
+                np.asarray(d_ref)[vr], np.asarray(d_p)[vr])
+            print(f"BRIEF patched oriented={oriented}: bit-exact vs sparse "
+                  f"({int(vr.sum())} valid slots)", file=sys.stderr, flush=True)
+    except Exception as e:  # noqa: BLE001
+        failures.append(f"BRIEF patched: {type(e).__name__}: {e}")
+        print(f"BRIEF patched: FAIL {type(e).__name__}", file=sys.stderr,
+              flush=True)
+
     frame = np.asarray(jax.numpy.zeros(0))  # keep jax initialized
     del frame
     from feature_detector_fast_tpu.utils.image import load_luma8
