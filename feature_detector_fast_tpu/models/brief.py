@@ -399,6 +399,20 @@ def _sampling_matrix(table: str = "plain") -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
+def _sampling_matrix_i8(table: str = "plain") -> np.ndarray:
+    """int8 twin of :func:`_sampling_matrix` for the MXU's 2x-rate s8 x s8
+    -> s32 path: the patch splits as p = 64*hi + lo (hi = p>>6 <= 99,
+    lo = p&63 — both int8), so rows are [64*d; d] with entries in
+    {-64, 0, 64} / {-1, 0, 1}.  Every product <= 99*64 and the i32
+    accumulation is exact (|diff| <= 961*6375 < 2^23), giving the same
+    integers as the bf16 hi/lo-7-bit formulation bit-for-bit."""
+    base = _sampling_matrix(table)
+    half = _PATCH * _PATCH
+    d = base[:, half:, :]  # the unscaled +-1 rows
+    return np.concatenate([64.0 * d, d], axis=1).astype(np.int8)
+
+
+@functools.lru_cache(maxsize=None)
 def _moment_matrix() -> np.ndarray:
     """(_PATCH**2, 2) f32 — (dx, dy) per flattened patch cell, so patch
     moments (m10, m01) = raw_patch @ _moment_matrix.  Weights <= 15 and
@@ -469,12 +483,15 @@ def describe_patched(
 
     The K x 512 scattered-sample gather of :func:`describe` /
     :func:`describe_oriented` costs ~7-9 ms/frame at 1080p on TPU.  Here
-    the Pallas kernel ``ops/patch_pallas.py`` DMAs each keypoint's 31x31
-    blurred patch into an aligned window (block-granular "gather" done by
-    the DMA engine), and ALL pattern samples — every pair, every
-    orientation bin — drop out of one bf16 matmul against a +-1 one-hot
-    difference matrix, accumulated exactly in f32 (see _sampling_matrix).
-    Bit-identical to the sparse paths at every valid slot.
+    the Pallas kernel ``ops/patch_pallas.py`` slices each keypoint's
+    31x31 blurred patch out of a VMEM-resident image copy (no
+    per-keypoint gather OR input DMA), and ALL pattern samples drop out
+    of one int8 matmul against a +-1 one-hot difference matrix on the
+    MXU's 2x-rate s8 x s8 -> s32 path, exact in i32 (see
+    _sampling_matrix_i8); for the steered variant, the 90-degree part of
+    each orientation rotates the PATCH (exact isometry) so the matmul
+    spans only the 15 residual-bin matrices.  Bit-identical to the
+    sparse paths at every valid slot.
 
     ``sort_blocks`` feeds the kernel strip-block-sorted coords so
     consecutive same-block DMAs dedup (see _block_sorted_feed); the final
@@ -511,10 +528,10 @@ def describe_patched(
     pr = wins[:, :_PATCH, :_PATCH]  # (K, 31, 31) blur | raw << RAW_SHIFT
     blur_mask = (1 << patch_pallas.RAW_SHIFT) - 1
 
-    def _feat(patches):  # hi/lo bf16-exact split of flattened patches
+    def _feat(patches):  # hi/lo int8 split of flattened patches (p = 64*hi+lo)
         p = patches.reshape(-1, _PATCH * _PATCH)
         return jnp.concatenate(
-            [(p >> 7).astype(jnp.bfloat16), (p & 127).astype(jnp.bfloat16)],
+            [(p >> 6).astype(jnp.int8), (p & 63).astype(jnp.int8)],
             axis=1,
         )
 
@@ -549,19 +566,19 @@ def describe_patched(
         sel = jnp.where(qv == 1, jnp.flip(t, 1), pb)
         sel = jnp.where(qv == 2, jnp.flip(jnp.flip(pb, 1), 2), sel)
         sel = jnp.where(qv == 3, jnp.flip(t, 2), sel)
-        d = jnp.asarray(_sampling_matrix("residual"), jnp.bfloat16)
+        d = jnp.asarray(_sampling_matrix_i8("residual"))
         diff = jnp.einsum(
-            "kp,bpi->kbi", _feat(sel), d, preferred_element_type=jnp.float32
+            "kp,bpi->kbi", _feat(sel), d, preferred_element_type=jnp.int32
         )  # (K, N_RESIDUAL_BINS, BITS), exact integers
         onehot = (rb[:, None] == jnp.arange(d.shape[0])[None, :]).astype(
-            jnp.float32
+            jnp.int32
         )
         diff = (diff * onehot[:, :, None]).sum(axis=1)
     else:
-        d = jnp.asarray(_sampling_matrix("plain")[0], jnp.bfloat16)
+        d = jnp.asarray(_sampling_matrix_i8("plain")[0])
         diff = jnp.einsum(
             "kp,pi->ki", _feat(pr & blur_mask), d,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.int32,
         )  # (K, BITS), exact integers
     desc = _pack_bits(diff > 0)
     if inv is not None:  # restore slot order (cheap: (K, WORDS) gather)

@@ -230,12 +230,12 @@ def _swar_window_prefilter(img_prev, img_cur, img_next, *, threshold: int,
     return rw, cpw, hb, cw, tile_has_candidates
 
 
-def _tile_keypoints_off_swar(rw, cpw, hb, cw, *, i, t: int, count: int,
+def _tile_keypoints_off_swar(rw, hb, cw, *, i, count: int,
                              height: int, width: int, tile_h: int):
     """OFF-mode arc test on SWAR pixel-pair planes (see
     _swar_window_prefilter).  Returns keep bool (tile_h, wp)."""
     half = tile_h // 2
-    wp = cpw.shape[1]
+    wp = hb.shape[1]
     bright = dark = None
     for k, (dx, dy) in enumerate(CIRCLE):
         p = rw.tap(dx, dy, rows=half, row0=RADIUS)
@@ -262,7 +262,7 @@ def _tile_keypoints_off_swar(rw, cpw, hb, cw, *, i, t: int, count: int,
     return arc_hit & interior
 
 
-def _tile_keypoints_sa_swar(rw, cpw, hb, cw, *, i, t: int, count: int,
+def _tile_keypoints_sa_swar(rw, hb, cw, *, i, count: int,
                             height: int, width: int, tile_h: int):
     """SUM_ABSOLUTE arc test + score on SWAR pixel-pair planes.
 
@@ -275,7 +275,7 @@ def _tile_keypoints_sa_swar(rw, cpw, hb, cw, *, i, t: int, count: int,
     for the 3x3 nonmax.  Returns (keep, score) (tile_h, wp) as
     _tile_keypoints does."""
     half = tile_h // 2 + 1
-    wp = cpw.shape[1]
+    wp = hb.shape[1]
     m9 = _i32c(0x200 * _FF)
     c511 = _i32c(511 * _FF)
     bright = dark = None
@@ -338,8 +338,8 @@ def _nonmax_select(kp, score, gy, *, rows: int, tile_h: int, height: int):
     )
 
 
-def _window_prefilter(img_prev, img_cur, img_next, *, mode: NonmaxMode,
-                      threshold: int, count: int, tile_h: int):
+def _window_prefilter(img_prev, img_cur, img_next, *, threshold: int,
+                      count: int, tile_h: int):
     """MAX_THRESHOLD tile preamble (OFF/SUM_ABSOLUTE route through
     _swar_window_prefilter): build the halo window and run the cardinal
     prefilter.  Returns (rw, rows, row0, center, tile_has_candidates),
@@ -401,26 +401,26 @@ def _tile_keep(img_prev, img_cur, img_next, *, mode: NonmaxMode,
         def body():
             if mode is NonmaxMode.OFF:
                 keep = _tile_keypoints_off_swar(
-                    rw, cpw, hb, cw, i=i, t=int(threshold), count=count,
+                    rw, hb, cw, i=i, count=count,
                     height=height, width=width, tile_h=tile_h,
                 )
                 return keep, None
             return _tile_keypoints_sa_swar(
-                rw, cpw, hb, cw, i=i, t=int(threshold), count=count,
+                rw, hb, cw, i=i, count=count,
                 height=height, width=width, tile_h=tile_h,
             )
 
         return wp, tile_has_candidates, body
 
     rw, rows, row0, center, tile_has_candidates = _window_prefilter(
-        img_prev, img_cur, img_next, mode=mode, threshold=int(threshold),
+        img_prev, img_cur, img_next, threshold=int(threshold),
         count=count, tile_h=tile_h,
     )
     wp = center.shape[1]
 
     def body():
         return _tile_keypoints(
-            rw, center, i=i, rows=rows, row0=row0, mode=mode,
+            rw, center, i=i, rows=rows, row0=row0,
             t=int(threshold), count=count, height=height, width=width,
             tile_h=tile_h,
         )
@@ -450,7 +450,7 @@ def _kernel(img_prev, img_cur, img_next, mask_out, score_out=None, *, mode: Nonm
 
 
 def _tile_keypoints(rw, center, *, i, rows, row0,
-                    mode: NonmaxMode, t: int, count: int, height: int,
+                    t: int, count: int, height: int,
                     width: int, tile_h: int):
     """Arc test + score + nonmax for one MAX_THRESHOLD tile (OFF and
     SUM_ABSOLUTE route through the SWAR pixel-pair paths).  Returns the
@@ -498,6 +498,16 @@ def _pad_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _check_threshold(threshold) -> int:
+    """The public contract is the reference's u8 threshold (lib.rs:41);
+    the SWAR field encodings (see _swar_window_prefilter) are exact only
+    on that range, so reject anything else loudly rather than wrap."""
+    t = int(threshold)
+    if not 0 <= t <= 255:
+        raise ValueError(f"threshold must be in 0..=255 (u8), got {t}")
+    return t
+
+
 def padded_width(w: int) -> int:
     """Lane-padded width the padded-output entry point uses."""
     return _pad_to(int(w), LANES)
@@ -519,6 +529,7 @@ def detect_dense_padded(
     layout and skip two full-image crop/cast passes.  Coordinates encode
     as flat indices over ``padded_width(w)``."""
     nonmax = NonmaxMode(nonmax)
+    threshold = _check_threshold(threshold)
     h, w = image.shape
     tile_h = TILE_H
     hp, wp = _pad_to(h, tile_h), _pad_to(w, LANES)
@@ -655,6 +666,7 @@ def detect_words_padded(
     rides the MXU (see _pack_weights), so the dense u16 mask (and its
     separate repack pass) never touches HBM."""
     nonmax = NonmaxMode(nonmax)
+    threshold = _check_threshold(threshold)
     h, w = image.shape
     tile_h = TILE_H
     hp, wp = _pad_to(h, tile_h), _pad_to(w, LANES)

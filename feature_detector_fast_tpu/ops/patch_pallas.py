@@ -10,15 +10,19 @@ of this framework avoids (SURVEY.md §7: the reference's per-candidate
 TPU analogue).
 
 The TPU-native shape of the problem: keypoint sampling = (structured
-patch copy) + (fixed linear map).  This kernel does the copy — for each
-keypoint, DMA the four (32, 128) VMEM blocks covering its 31x31 blurred
-patch (block indices come from scalar-prefetched coordinates, so the DMA
-engine does the "gather" at block granularity), rotate rows/lanes by the
-in-block offset, and emit an aligned (32, 128) window whose top-left
-31x31 is the patch.  The linear map (point-pair sampling, all 30
-orientations at once) then runs as ONE bf16 matmul on the MXU
-(models/brief.py::_bits_from_patches) — sampling becomes dense compute
-instead of scattered memory traffic.
+patch copy) + (fixed linear map).  This module does the copy — the fused
+kernel holds a 2x-overlapped copy of the image VMEM-RESIDENT and slices
+each keypoint's blur-halo window dynamically in VMEM (scalar-prefetched
+coordinates; zero per-keypoint input DMAs), computes the 5x5 box blur on
+the window, and emits an aligned (32, 128) window whose top-left 31x31
+is the blurred patch with raw pixels in its spare high bits.  The linear
+map (point-pair sampling, every orientation residual at once) then runs
+as ONE int8 matmul on the MXU (models/brief.py::describe_patched) —
+sampling becomes dense compute instead of scattered memory traffic.
+A strip-DMA variant (one (96, 256) block fetch per keypoint) remains as
+the fallback for images too large for VMEM residency, and
+`extract_patches` (4 block DMAs per keypoint from an arbitrary plane)
+as the general-plane utility.
 """
 
 from __future__ import annotations
@@ -41,9 +45,15 @@ WIN_H = 32
 #: offset (< 32) always fits in two vertically adjacent blocks.
 _BLK_H = 32
 
-#: Keypoints handled per grid step (amortizes per-step bookkeeping; each
-#: keypoint needs 4 input windows, so specs scale 4x this).
+#: Keypoints handled per grid step of the strip-DMA kernels (each
+#: keypoint needs its own input window operand(s), so specs scale with
+#: this; input-DMA-bound, measured flat in group size).
 _GROUP = 4
+#: Keypoints per grid step of the VMEM-resident kernel: no input operands
+#: scale with it, and fewer grid steps = fewer fixed-cost output DMAs —
+#: measured 0.34 (group 4) -> 0.29 ms/frame (8) at 1080p/k=1024, flat
+#: beyond.
+_GROUP_RESIDENT = 8
 
 
 def _roll_rows(win: jax.Array, dy) -> jax.Array:
@@ -86,6 +96,30 @@ def _roll_cols_static(win: jax.Array, dx: int) -> jax.Array:
     return pltpu.roll(win, (-dx) % win.shape[1], axis=1)
 
 
+def _blur_pack(win: jax.Array, x) -> jax.Array:
+    """Shared tail of the fused extraction kernels: from a (WIN_H+4, 256)
+    i32 window whose row r is image row y-17+r (lanes covering the 128-
+    aligned span around x), compute the packed blur5|raw<<RAW_SHIFT
+    (WIN_H, LANES) output — the exactness-critical math lives ONCE here
+    for both the strip-DMA and VMEM-resident kernels."""
+    # win[r, c] = image[y - 17 + r, x - 17 + c] for c < 162.
+    bv = sum(
+        jax.lax.slice_in_dim(win, d, d + WIN_H, axis=0) for d in range(5)
+    )  # vertical 5-sum centred at y - 15 + r
+    # Raw patch rows share bv's alignment; pack them into bv's spare
+    # high bits so ONE dynamic lane roll serves both planes.
+    packed = bv | (
+        jax.lax.slice_in_dim(win, 2, 2 + WIN_H, axis=0) << RAW_SHIFT
+    )
+    packed = _roll_lanes(packed, (x - PATCH // 2 - 2) % LANES)
+    bvr = packed & ((1 << RAW_SHIFT) - 1)
+    bh = sum(_roll_cols_static(bvr, d) for d in range(5))
+    # bh[r, c] = blur5 at image (y - 15 + r, x - 15 + c); the raw
+    # patch is two lanes further into the rolled window.
+    raw = _roll_cols_static(packed, 2) & (255 << RAW_SHIFT)
+    return bh[:, :LANES] | raw[:, :LANES]
+
+
 def _fused_kernel(coords, *refs, group: int):
     ins = refs[:group]
     out = refs[group]
@@ -100,22 +134,7 @@ def _fused_kernel(coords, *refs, group: int):
         off = (y - PATCH // 2 - 2) % _BLK_H
         win = ins[j][pl.ds(pl.multiple_of(off & ~7, 8), 48), :]
         win = _roll_rows(win.astype(jnp.int32), off & 7)[: WIN_H + 4]
-        # win[r, c] = image[y - 17 + r, x - 17 + c] for c < 162.
-        bv = sum(
-            jax.lax.slice_in_dim(win, d, d + WIN_H, axis=0) for d in range(5)
-        )  # vertical 5-sum centred at y - 15 + r
-        # Raw patch rows share bv's alignment; pack them into bv's spare
-        # high bits so ONE dynamic lane roll serves both planes.
-        packed = bv | (
-            jax.lax.slice_in_dim(win, 2, 2 + WIN_H, axis=0) << RAW_SHIFT
-        )
-        packed = _roll_lanes(packed, (x - PATCH // 2 - 2) % LANES)
-        bvr = packed & ((1 << RAW_SHIFT) - 1)
-        bh = sum(_roll_cols_static(bvr, d) for d in range(5))
-        # bh[r, c] = blur5 at image (y - 15 + r, x - 15 + c); the raw
-        # patch is two lanes further into the rolled window.
-        raw = _roll_cols_static(packed, 2) & (255 << RAW_SHIFT)
-        out[j] = bh[:, :LANES] | raw[:, :LANES]
+        out[j] = _blur_pack(win, x)
 
 
 #: VMEM budget for the resident-source fused kernel: the 2x-overlapped
@@ -145,17 +164,7 @@ def _fused_kernel_resident(coords, src, out, *, group: int):
         win = _roll_rows(win.astype(jnp.int32), y0 & 7)[: WIN_H + 4]
         # win[r, c] = image[y - 17 + r, 128*cb + c]; the window's left edge
         # sits at lane (x - 17) % 128, exactly as in the strip kernel.
-        bv = sum(
-            jax.lax.slice_in_dim(win, d, d + WIN_H, axis=0) for d in range(5)
-        )
-        packed = bv | (
-            jax.lax.slice_in_dim(win, 2, 2 + WIN_H, axis=0) << RAW_SHIFT
-        )
-        packed = _roll_lanes(packed, (x - PATCH // 2 - 2) % LANES)
-        bvr = packed & ((1 << RAW_SHIFT) - 1)
-        bh = sum(_roll_cols_static(bvr, d) for d in range(5))
-        raw = _roll_cols_static(packed, 2) & (255 << RAW_SHIFT)
-        out[j] = bh[:, :LANES] | raw[:, :LANES]
+        out[j] = _blur_pack(win, x)
 
 
 def _resident_planes(image: jax.Array) -> jax.Array:
@@ -176,10 +185,13 @@ def _resident_planes(image: jax.Array) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def extract_windows_fused(
-    image: jax.Array, xy: jax.Array, group: int = _GROUP,
+    image: jax.Array, xy: jax.Array, group: int = 0,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused blur + patch extraction with NO per-keypoint input DMA.
+
+    ``group`` = keypoints per grid step; 0 picks the measured default for
+    the chosen path (_GROUP_RESIDENT / _GROUP).
 
     Returns (K, WIN_H, LANES) i32 windows where
     ``out[k, r, c] = blur5(y_k-15+r, x_k-15+c) | raw(y_k-15+r, x_k-15+c) << 13``
@@ -211,6 +223,8 @@ def extract_windows_fused(
     hp, wp = _pad_to(h, _BLK_H), _pad_to(w, LANES)
     n_cb = wp // LANES
     resident = n_cb * (hp + 2 * _BLK_H) * 2 * LANES <= _RESIDENT_BYTES_MAX
+    if not group:
+        group = _GROUP_RESIDENT if resident else _GROUP
 
     kp = _pad_to(k, group)
     margin = PATCH // 2 + 2

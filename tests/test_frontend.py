@@ -35,8 +35,9 @@ def test_select_topk_hierarchical_matches_flat(rng):
             b = brief._select_topk_flat(mask, score, k)
             for fa, fb in zip(a, b):
                 np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
-    # Large-image case: exercises the three-level branch at big k too
-    # (n > 64 * k) — the shape class the small fuzz above cannot reach.
+    # Large-image case: n >> k with k in the thousands — exercises the
+    # wide-index key packing and the k_s = min(k, ns) interplay at a
+    # scale the small fuzz shapes above cannot reach.
     h, w = 300, 400
     mask = rng.random((h, w)) < 0.01
     score = rng.integers(0, 4000, (h, w)).astype(np.int32)

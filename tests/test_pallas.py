@@ -118,3 +118,18 @@ def test_padded_dims_and_super_cap_bound():
     with mock.patch.object(api, "_use_pallas", lambda: True):
         cap = api._max_super_cap(1080, 1920)
     assert cap >= hp * wp // 32 // compact.SUPER_SPAN
+
+
+def test_threshold_contract(rng):
+    """The kernels enforce the reference's u8 threshold contract
+    (lib.rs:41) — the SWAR field encodings are exact only on 0..=255 —
+    and stay bit-exact at both ends of the range."""
+    img = rng.integers(0, 256, (64, 128), np.uint8)
+    for bad in (-1, 256, 300):
+        with pytest.raises(ValueError):
+            fast_pallas.detect_dense_pallas(img, bad, 9, NonmaxMode.OFF, True)
+        with pytest.raises(ValueError):
+            fast_pallas.detect_words_padded(img, bad, 9, NonmaxMode.OFF, True)
+    for t in (0, 255):
+        assert_same(img, t, 9, NonmaxMode.OFF)
+        assert_same(img, t, 9, NonmaxMode.SUM_ABSOLUTE)

@@ -75,6 +75,27 @@ def test_extract_windows_fused(rng, shape):
         np.testing.assert_array_equal(wins[i, :n, :n], want)
 
 
+@pytest.mark.parametrize("shape", [(64, 128), (200, 300)])
+def test_extract_windows_fused_strip_fallback(rng, shape, monkeypatch):
+    """The strip-DMA fallback kernel (images too big for VMEM residency)
+    must produce the same windows as the resident path — every ordinary
+    test image fits in VMEM, so force the fallback by shrinking the
+    residency budget to zero."""
+    h, w = shape
+    img = rng.integers(0, 256, shape, np.uint8)
+    k = 21
+    m = patch_pallas.PATCH // 2 + 2
+    xy = np.stack([
+        rng.integers(m, w - m - 1, k), rng.integers(m, h - m - 1, k)
+    ], axis=-1).astype(np.int32)
+    want = np.asarray(
+        patch_pallas.extract_windows_fused(img, xy, interpret=True))
+    monkeypatch.setattr(patch_pallas, "_RESIDENT_BYTES_MAX", 0)
+    got = np.asarray(
+        patch_pallas.extract_windows_fused.__wrapped__(img, xy, 0, True))
+    np.testing.assert_array_equal(got, want)
+
+
 @pytest.mark.parametrize("oriented", [False, True])
 @pytest.mark.parametrize("shape", [(64, 128), (97, 130), (200, 300)])
 def test_patched_describe_matches_sparse(rng, shape, oriented):

@@ -1,11 +1,15 @@
-"""Experiment: does block-sorted keypoint order dedup extraction DMAs?
+"""Experiment: does block-sorted keypoint order dedup strip-DMA fetches?
 
-extract_windows_fused issues one (96, 256) strip DMA per keypoint and is
-DMA-COUNT-bound.  Pallas' pipeline elides the copy when an operand's block
-index is unchanged between consecutive grid steps — so feeding coords
-sorted by strip block, interleaved so each of the `group` operands walks a
-contiguous sorted run (operand j gets sorted[j*S + i] at step i), should
-collapse ~K DMAs to ~(#distinct blocks + group).
+Applies only to extract_windows_fused's strip-DMA FALLBACK kernel (images
+too large for VMEM residency) — the default resident path issues no
+per-keypoint input DMAs, so this tool forces the fallback by zeroing
+_RESIDENT_BYTES_MAX.  The fallback issues one (96, 256) strip DMA per
+keypoint and is DMA-overhead-bound.  Pallas' pipeline elides the copy
+when an operand's block index is unchanged between consecutive grid
+steps — so feeding coords sorted by strip block, interleaved so each of
+the `group` operands walks a contiguous sorted run (operand j gets
+sorted[j*S + i] at step i), should collapse ~K DMAs to ~(#distinct
+blocks + group).
 
 Times extraction at k in {512, 1000, 2048} on a 1080p frame, coords drawn
 from the frame's real FAST keypoints: (a) as-selected (score order),
@@ -39,6 +43,7 @@ def main() -> int:
     img_np = build_1080p_frame()
     h, w = img_np.shape
     img = jnp.asarray(img_np)
+    pp._RESIDENT_BYTES_MAX = 0  # force the strip-DMA fallback under test
 
     rng = np.random.default_rng(7)
     margin = pp.PATCH // 2 + 2
