@@ -231,8 +231,10 @@ def optimize(p: BAProblem, iterations: int = 10, cg_iters: int = 30,
     def step(carry, _):
         poses, points = carry
         pp = p._replace(poses=poses, points=points)
-        new_poses, new_points, _ = ba_step(pp, damping, cg_iters)
-        c_old = total_cost(pp)
+        # ba_step already evaluated the residuals of pp while building the
+        # system — consume its cost instead of re-running total_cost's
+        # Jacobian pass (matches parallel/ba_sharded.optimize_sharded).
+        new_poses, new_points, c_old = ba_step(pp, damping, cg_iters)
         c_new = total_cost(p._replace(poses=new_poses, points=new_points))
         better = c_new < c_old
         poses = jnp.where(better, new_poses, poses)

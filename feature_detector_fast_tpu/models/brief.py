@@ -256,17 +256,29 @@ def _topk_key(mask: jax.Array, score: jax.Array) -> Tuple[jax.Array, int]:
     return key, idx_bits
 
 
-def _decode_topk(topv: jax.Array, idx_bits: int, h: int, w: int) -> Keypoints:
+def _decode_topk(
+    topv: jax.Array, idx_bits: int, h: int, w: int, score: jax.Array
+) -> Keypoints:
+    """Unpack selected keys to Keypoints.  Reported scores are regathered
+    EXACTLY from the score plane (k cheap scalar gathers) — the key's
+    score field is clipped to the bits left over by index packing (1023
+    at 1080p; see _topk_key) and must not leak to consumers."""
     valid = topv >= 0
     sel = jnp.where(valid, h * w - 1 - (topv & ((1 << idx_bits) - 1)), 0)
     x = (sel % w).astype(jnp.int32)
     y = (sel // w).astype(jnp.int32)
-    s = jnp.where(valid, topv >> idx_bits, 0)
+    s = jnp.where(valid, score.reshape(-1)[sel].astype(jnp.int32), 0)
     return Keypoints(jnp.stack([x, y], axis=-1), s, valid)
 
 
 def select_topk(mask: jax.Array, score: jax.Array, k: int) -> Keypoints:
     """Deterministic top-K keypoints by (score, then row-major position).
+
+    Ordering uses the score CLIPPED to the bits left over by index
+    packing (1023 at 1080p, 4095 at VGA — see _topk_key): corners whose
+    scores all exceed the clip rank by position among themselves.
+    Reported Keypoints.score values are exact (regathered), never
+    clipped.
 
     Two-level selection instead of one top_k over all H*W keys (which
     costs ~2 ms/frame at 1080p on TPU — a near-full-image partial sort):
@@ -293,7 +305,7 @@ def select_topk(mask: jax.Array, score: jax.Array, k: int) -> Keypoints:
     if k2 < int(k):
         topv = jnp.concatenate(
             [topv, jnp.full((int(k) - k2,), -1, jnp.int32)])
-    return _decode_topk(topv, idx_bits, h, w)
+    return _decode_topk(topv, idx_bits, h, w, score)
 
 
 def _select_topk_flat(mask: jax.Array, score: jax.Array, k: int) -> Keypoints:
@@ -305,7 +317,7 @@ def _select_topk_flat(mask: jax.Array, score: jax.Array, k: int) -> Keypoints:
     if int(k) > h * w:
         topv = jnp.concatenate(
             [topv, jnp.full((int(k) - h * w,), -1, jnp.int32)])
-    return _decode_topk(topv, idx_bits, h, w)
+    return _decode_topk(topv, idx_bits, h, w, score)
 
 
 @functools.partial(jax.jit, static_argnums=())

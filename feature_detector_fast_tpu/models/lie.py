@@ -92,16 +92,32 @@ def so3_log(R: jax.Array) -> jax.Array:
     scale = jnp.where(small, 1.0 + s2 / 6.0, theta / sin_safe)
     general = w * scale[..., None]
     # Near pi sin -> 0 while |log| -> pi: extract the axis from the
-    # symmetric part instead.
+    # symmetric part instead.  Magnitudes come from the diagonal
+    # (R_ii = cos + (1-cos) a_i^2); RELATIVE signs cannot come from the
+    # vanishing skew part w — they come from the symmetric off-diagonals
+    # S_ij = (1-cos) a_i a_j (positive factor near pi), anchored at the
+    # largest-magnitude component k (set a_k > 0, then sign(a_j) =
+    # sign(S_kj)).  The remaining GLOBAL sign is recovered from w while
+    # sin(theta) is still nonzero; at exactly pi the two signs give the
+    # same rotation, so the +1 fallback is exact there.
     near_pi = cos < -0.999
     theta_pi = jnp.arccos(jnp.clip(cos, -1.0 + 1e-7, 1.0 - 1e-7))
     diag = jnp.diagonal(R, axis1=-2, axis2=-1)
     axis_sq = jnp.clip(
         (diag - cos[..., None]) / (1.0 - cos[..., None] + _EPS), 0.0, None
     )
-    axis = jnp.sqrt(axis_sq + _EPS)
-    sgn = jnp.sign(jnp.where(jnp.abs(w) > 1e-6, w, 1.0))
-    pi_branch = axis * sgn * theta_pi[..., None]
+    axis_abs = jnp.sqrt(axis_sq + _EPS)
+    sym = (R + jnp.swapaxes(R, -1, -2)) / 2.0
+    k = jnp.argmax(axis_sq, axis=-1)
+    row_k = jnp.take_along_axis(sym, k[..., None, None], axis=-2)[..., 0, :]
+    is_k = jax.nn.one_hot(k, 3, dtype=R.dtype)
+    rel = jnp.where(
+        is_k > 0.5, 1.0, jnp.sign(jnp.where(jnp.abs(row_k) > 0, row_k, 1.0))
+    )
+    axis = axis_abs * rel
+    dot_w = jnp.sum(w * axis, axis=-1, keepdims=True)
+    g = jnp.sign(jnp.where(jnp.abs(dot_w) > 1e-6, dot_w, 1.0))
+    pi_branch = axis * g * theta_pi[..., None]
     return jnp.where(near_pi[..., None], pi_branch, general)
 
 

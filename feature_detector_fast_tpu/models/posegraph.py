@@ -122,7 +122,7 @@ def optimize(
         delta = delta.at[0].set(0.0)
         new_poses = lie.se3_exp(delta) @ poses
         # accept only if cost decreases (cheap safeguard)
-        new_r = edge_residuals(new_poses, g._replace(poses=new_poses))
+        new_r = edge_residuals(new_poses, g)
         new_r2 = jnp.sum(new_r * new_r)
         better = new_r2 < r2
         poses = jnp.where(better, new_poses, poses)

@@ -72,7 +72,7 @@ def sampson_error(E: jax.Array, pa: jax.Array, pb: jax.Array) -> jax.Array:
     hb = jnp.concatenate([pb, jnp.ones_like(pb[..., :1])], axis=-1)
     Ea = ha @ jnp.swapaxes(E, -1, -2)  # = (E @ pa)^T rows -> (N, 3)
     Etb = hb @ E  # (N, 3)
-    num = jnp.sum(hb * (ha @ jnp.swapaxes(E, -1, -2)), axis=-1) ** 2
+    num = jnp.sum(hb * Ea, axis=-1) ** 2
     den = Ea[..., 0] ** 2 + Ea[..., 1] ** 2 + Etb[..., 0] ** 2 + Etb[..., 1] ** 2
     return num / jnp.maximum(den, 1e-12)
 
@@ -94,12 +94,15 @@ def ransac_essential(
     re-fit on its inliers once.
     """
     k = pa.shape[0]
-    n_valid = jnp.maximum(valid.sum(), 1)
-    # Sample indices among valid slots: sample uniformly then redirect
-    # invalid draws to valid positions via sorted valid indices.
-    order = jnp.argsort(~valid)  # valid slots first
-    draws = jax.random.randint(key, (hypotheses, 8), 0, n_valid)
-    sample_idx = order[draws]  # (H, 8) indices of valid slots
+    # Minimal samples WITHOUT replacement: rank a uniform key per (slot,
+    # hypothesis), push invalid slots to the back, take each hypothesis's
+    # 8 best — 8 DISTINCT valid slots whenever >= 8 exist.  Sampling with
+    # replacement made a hypothesis contain duplicate correspondences with
+    # high probability at small n_valid (~55% at 20), and a duplicated row
+    # leaves the 8-point system rank-deficient — a wasted hypothesis.
+    r = jax.random.uniform(key, (hypotheses, k))
+    r = jnp.where(valid[None, :], r, 2.0)  # invalid slots rank last
+    _, sample_idx = jax.lax.top_k(-r, 8)  # (H, 8) distinct slot indices
 
     Es = jax.vmap(lambda si: _eight_point(pa[si], pb[si]))(sample_idx)  # (H,3,3)
     errs = jax.vmap(lambda E: sampson_error(E, pa, pb))(Es)  # (H, K)

@@ -49,6 +49,11 @@ def build_windows(
     stride: int,
 ) -> WindowBatch:
     """Cut a trajectory-wide BA problem into overlapping windows."""
+    if stride > window:
+        raise ValueError(
+            f"stride ({stride}) > window ({window}) leaves cameras outside "
+            "every window; stitch_windows requires full coverage"
+        )
     n_cams = poses.shape[0]
     starts = list(range(0, max(n_cams - window, 0) + 1, stride))
     if starts and starts[-1] + window < n_cams:

@@ -17,6 +17,8 @@ process group.  What the framework owns is:
 
 from __future__ import annotations
 
+import os
+import threading
 import time
 from typing import Any, Dict, Optional
 
@@ -27,46 +29,86 @@ from ..utils import checkpoint as ckpt
 
 _initialized = False
 
+#: Environment markers whose presence means `jax.distributed.initialize()`
+#: can auto-detect the cluster (TPU pod metadata / explicit coordinator).
+_CLUSTER_ENV_VARS = (
+    "JAX_COORDINATOR_ADDRESS",
+    "COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+    "TPU_WORKER_HOSTNAMES",
+    "TPU_WORKER_ID",
+)
+
 
 def initialize(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> int:
-    """Form the multi-host process group (idempotent).  With no arguments
-    JAX auto-detects TPU pod environments; on a single host this is a
-    no-op.  Returns this host's process index."""
+    """Form the multi-host process group (idempotent).  With explicit
+    arguments they are passed through; with none, auto-detection runs via
+    `jax.distributed.initialize()` whenever a cluster environment marker
+    is present (TPU pod metadata / coordinator env vars) — a plain
+    single-host run stays a no-op rather than failing on a missing
+    coordinator.  Returns this host's process index."""
     global _initialized
     import jax
 
-    if not _initialized and (num_processes or 0) > 1:
+    explicit = (
+        coordinator_address is not None
+        or num_processes is not None
+        or process_id is not None
+    )
+    auto = any(os.environ.get(v) for v in _CLUSTER_ENV_VARS)
+    if not _initialized and explicit:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
         _initialized = True
+    elif not _initialized and auto:
+        # Best-effort pod auto-detection: cluster markers also appear on
+        # single-chip attachments (e.g. TPU_WORKER_ID on a relay-attached
+        # chip) where no coordinator is derivable — fall back to
+        # single-host rather than failing.
+        try:
+            jax.distributed.initialize()
+            _initialized = True
+        except (ValueError, RuntimeError):
+            pass
     return jax.process_index()
 
 
 def healthcheck(timeout_s: float = 60.0) -> bool:
-    """Cross-host heartbeat: a tiny psum across all devices of all hosts.
-    Returns True iff it completes within the timeout (single-host: always
-    a fast local reduce).  A False/timeout indicates a lost or wedged
-    peer — callers should checkpoint and abort for the scheduler to
-    restart the slice."""
+    """Cross-host heartbeat: a tiny psum across every host's local devices
+    (global axis over all processes).  Returns True iff the collective
+    completes within ``timeout_s`` with the expected global device count.
+
+    The collective runs in a daemon thread so a WEDGED peer — the failure
+    this detector exists for, which blocks the psum indefinitely — turns
+    into a timely False instead of hanging the caller.  (The abandoned
+    thread stays blocked in the runtime; callers are expected to
+    checkpoint and abort so the scheduler restarts the slice, per the
+    module docstring.)"""
     import jax
     import jax.numpy as jnp
 
-    t0 = time.monotonic()
-    try:
-        devs = jax.devices()
-        x = jax.device_put_replicated(jnp.ones((), jnp.int32), devs)
-        total = jax.pmap(lambda v: jax.lax.psum(v, "i"), axis_name="i")(x)
-        ok = int(np.asarray(total)[0]) == len(devs)
-        return ok and (time.monotonic() - t0) <= timeout_s
-    except Exception:
-        return False
+    result: Dict[str, Any] = {}
+
+    def run():
+        try:
+            devs = jax.local_devices()
+            x = jax.device_put_replicated(jnp.ones((), jnp.int32), devs)
+            total = jax.pmap(lambda v: jax.lax.psum(v, "i"), axis_name="i")(x)
+            result["ok"] = int(np.asarray(total)[0]) == jax.device_count()
+        except Exception:  # noqa: BLE001 — any failure is a failed heartbeat
+            result["ok"] = False
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(result.get("ok", False))
 
 
 class CheckpointedLoop:

@@ -67,3 +67,27 @@ def test_batched_and_vmap(rng):
 def test_gradients_finite_at_zero():
     g = jax.grad(lambda xi: lie.se3_exp(xi).sum())(jnp.zeros(6, jnp.float64))
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_so3_log_near_pi_mixed_sign_axes(rng):
+    """At (and near) 180 degrees the skew part vanishes, so axis SIGNS
+    must come from the symmetric part — a +1-sign fallback reconstructs
+    the wrong rotation for mixed-sign axes (regression: exp(log(R))
+    diverged from R by O(1) for axis (1,-1,1)/sqrt(3) at theta=pi)."""
+    axes = [
+        np.array([1.0, -1.0, 1.0]) / np.sqrt(3.0),
+        np.array([-1.0, 1.0, 1.0]) / np.sqrt(3.0),
+        np.array([0.0, -1.0, 1.0]) / np.sqrt(2.0),
+        np.array([1.0, 0.0, 0.0]),
+    ]
+    for _ in range(8):
+        v = rng.normal(0, 1, 3)
+        axes.append(v / np.linalg.norm(v))
+    for axis in axes:
+        for theta in (np.pi, np.pi - 1e-4, np.pi - 1e-2, 3.0):
+            R = lie.so3_exp(jnp.asarray(theta * axis, jnp.float64))
+            back = lie.so3_exp(lie.so3_log(R))
+            np.testing.assert_allclose(
+                np.asarray(back), np.asarray(R), atol=5e-4,
+                err_msg=f"axis={axis} theta={theta}",
+            )

@@ -45,6 +45,11 @@ def main() -> int:
         frame = np.tile(base, (-(-h // base.shape[0]), -(-w // base.shape[1])))
         frame = frame[:h, :w].copy()
         batch = max(4, int(round(32 * (1920 * 1080) / (h * w))))
+        if k > 1024:
+            # Large-k paths hold O(k) per-frame descriptor state (dense
+            # word planes / extracted windows); scale the in-flight batch
+            # down so the sweep fits HBM instead of OOMing.
+            batch = max(4, batch * 1024 // k)
         rounds = 10
         imgs = jax.device_put(np.broadcast_to(frame, (batch, h, w)).copy())
         zeros = jax.device_put(np.zeros(rounds, np.uint8))
