@@ -660,9 +660,12 @@ def detect_and_describe(
         else:
             desc, dvalid = describe_oriented.__wrapped__(image, kps)
     elif jax.default_backend() == "tpu":
-        if k <= 2048:
+        if k <= 1280:
             # Patch extraction + sampling matmul: cost scales with K, so
-            # it beats the fixed ~1 ms/frame dense kernel for sparse sets.
+            # it beats the fixed-cost dense kernel for sparse sets.
+            # Measured crossover on v5e 1080p (ms/frame, patched vs
+            # dense): k=512 0.84/1.33, k=1024 1.28/1.47, k=1536
+            # 1.74/1.57, k=4096 3.85/2.04.
             desc, dvalid = describe_patched(image, kps, oriented=False)
         else:
             # Dense Pallas description: compare shifted blurred planes

@@ -218,7 +218,7 @@ def extract_windows_fused(
     """
     h, w = image.shape
     k = xy.shape[0]
-    if h < 2 * PATCH // 2 + 5 or w < 2 * PATCH // 2 + 5:
+    if h < 2 * (PATCH // 2) + 5 or w < 2 * (PATCH // 2) + 5:
         raise ValueError(f"image too small for fused extraction: {h}x{w}")
     hp, wp = _pad_to(h, _BLK_H), _pad_to(w, LANES)
     n_cb = wp // LANES

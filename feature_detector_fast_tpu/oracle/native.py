@@ -8,18 +8,16 @@ build directory keyed by source hash) and exposes the same oracle API as
 from __future__ import annotations
 
 import ctypes
-import hashlib
 import os
-import subprocess
 import threading
 from typing import List, Optional
 
 import numpy as np
 
 from ..config import Config, NonmaxMode, Point
+from ..utils.native_build import build_shared_lib
 
 _SRC = os.path.join(os.path.dirname(__file__), "native_src", "fast_oracle.cpp")
-_BUILD_DIR = os.path.join(os.path.dirname(__file__), "_build")
 
 _MODE_CODE = {
     NonmaxMode.OFF: 0,
@@ -31,27 +29,11 @@ _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 
 
-def _build() -> str:
-    with open(_SRC, "rb") as f:
-        digest = hashlib.sha256(f.read()).hexdigest()[:16]
-    so_path = os.path.join(_BUILD_DIR, f"fast_oracle_{digest}.so")
-    if not os.path.exists(so_path):
-        os.makedirs(_BUILD_DIR, exist_ok=True)
-        tmp = so_path + f".tmp{os.getpid()}"
-        subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp],
-            check=True,
-            capture_output=True,
-        )
-        os.replace(tmp, so_path)
-    return so_path
-
-
 def _load() -> ctypes.CDLL:
     global _lib
     with _lock:
         if _lib is None:
-            lib = ctypes.CDLL(_build())
+            lib = ctypes.CDLL(build_shared_lib(_SRC))
             u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
             u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
             i32 = ctypes.c_int32

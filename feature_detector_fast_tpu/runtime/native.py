@@ -13,7 +13,6 @@ still work.
 from __future__ import annotations
 
 import ctypes
-import hashlib
 import os
 import subprocess
 import threading
@@ -21,29 +20,13 @@ from typing import List, Optional
 
 import numpy as np
 
+from ..utils.native_build import build_shared_lib
+
 _SRC = os.path.join(os.path.dirname(__file__), "native_src", "host_runtime.cpp")
-_BUILD_DIR = os.path.join(os.path.dirname(__file__), "_build")
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
-
-
-def _build() -> str:
-    with open(_SRC, "rb") as f:
-        digest = hashlib.sha256(f.read()).hexdigest()[:16]
-    so_path = os.path.join(_BUILD_DIR, f"host_runtime_{digest}.so")
-    if not os.path.exists(so_path):
-        os.makedirs(_BUILD_DIR, exist_ok=True)
-        tmp = so_path + f".tmp{os.getpid()}"
-        subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-pthread",
-             _SRC, "-o", tmp],
-            check=True,
-            capture_output=True,
-        )
-        os.replace(tmp, so_path)
-    return so_path
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -51,7 +34,7 @@ def _load() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is None and not _build_failed:
             try:
-                lib = ctypes.CDLL(_build())
+                lib = ctypes.CDLL(build_shared_lib(_SRC, ("-pthread",)))
             except (OSError, subprocess.SubprocessError):
                 _build_failed = True
                 return None
@@ -112,7 +95,7 @@ def expand_words_batch(
     widx = np.ascontiguousarray(word_idx, np.int32)
     wbits = np.ascontiguousarray(word_bits, np.uint32)
     b, mw = widx.shape
-    cap = int(per_frame_cap)
+    cap = max(1, int(per_frame_cap))
     threads = threads or min(b, os.cpu_count() or 1)
     while True:
         out = np.empty((b, cap, 2), np.uint32)
@@ -160,7 +143,7 @@ def expand_supers_batch(
     sbits = np.ascontiguousarray(super_bits, np.uint32)
     b, ms = sidx.shape
     span = sbits.shape[-1]
-    cap = int(per_frame_cap)
+    cap = max(1, int(per_frame_cap))
     threads = threads or min(b, os.cpu_count() or 1)
     while True:
         out = np.empty((b, cap, 2), np.uint32)

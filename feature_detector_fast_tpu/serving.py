@@ -59,11 +59,8 @@ class DetectorPipeline:
         self._inflight.append((packed, batch.shape[-1]))
 
     def _decode(self, packed, width) -> List[np.ndarray]:
-        host = np.asarray(packed)
-        if host[:, 1].max(initial=0) > self.max_supers:
-            raise OverflowError(
-                "superword cap exceeded in pipeline; raise max_supers")
-        return unpack_batch_packed(host, self.max_supers,
+        # unpack_batch_packed performs the overflow check and raises.
+        return unpack_batch_packed(np.asarray(packed), self.max_supers,
                                    effective_width(width))
 
     def ready(self) -> Iterator[List[np.ndarray]]:

@@ -65,9 +65,14 @@ def assert_replicas_identical(per_device: np.ndarray, atol: float = 0.0,
 
 def dump_plane_hex(plane: np.ndarray, max_rows: int = 8, max_cols: int = 32) -> str:
     """Hex-dump the corner of a 2-D integer plane (the `pi`/`pl` vector
-    printer analogue, fast_simd.rs:827-844)."""
+    printer analogue, fast_simd.rs:827-844).  Column width adapts to the
+    plane's value range — byte planes stay compact like the reference's
+    byte printer, while i32 mask/score/packed-word planes align at 8
+    digits so rows remain visually comparable."""
     plane = np.asarray(plane)
+    vals = plane[:max_rows, :max_cols].astype(np.int64) & 0xFFFFFFFF
+    width = 2 if (vals.size == 0 or vals.max() <= 0xFF) else 8
     rows = []
-    for r in plane[:max_rows]:
-        rows.append(" ".join(f"{int(v) & 0xFFFFFFFF:02x}" for v in r[:max_cols]))
+    for r in vals:
+        rows.append(" ".join(f"{int(v):0{width}x}" for v in r))
     return "\n".join(rows)

@@ -74,6 +74,10 @@ def rpe_rmse(
         dg = np.linalg.inv(gt[i]) @ gt[i + delta]
         e = np.linalg.inv(dg) @ de
         errs.append(e[:3, 3])
+    if not errs:
+        raise ValueError(
+            f"rpe_rmse needs at least delta+1={delta + 1} poses, got {len(est)}"
+        )
     errs = np.asarray(errs)
     return float(np.sqrt((errs * errs).sum(axis=1).mean()))
 

@@ -36,6 +36,9 @@ def test_assert_replicas_identical():
 def test_dump_plane_hex():
     out = debug.dump_plane_hex(np.asarray([[1, 255], [16, 0]]))
     assert out.splitlines() == ["01 ff", "10 00"]
+    # i32 planes (packed words / scores) align at 8 digits
+    out = debug.dump_plane_hex(np.asarray([[1, -1], [0x2000, 0]]))
+    assert out.splitlines() == ["00000001 ffffffff", "00002000 00000000"]
 
 
 def test_healthcheck_all_devices():
