@@ -69,7 +69,9 @@ def build_1080p_frame() -> np.ndarray:
     override = os.environ.get("INPUT_FILE")
     if override:
         return load_luma8(override)
-    small = load_luma8("media/Screenshot315_torch_grey.png")  # 200x300
+    media = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "media", "Screenshot315_torch_grey.png")
+    small = load_luma8(media)  # 200x300
     reps_y = -(-1080 // small.shape[0])
     reps_x = -(-1920 // small.shape[1])
     return np.tile(small, (reps_y, reps_x))[:1080, :1920].copy()
@@ -84,6 +86,8 @@ def bench_config(batch_np, config, cap) -> tuple:
     from feature_detector_fast_tpu.api import (
         _detect_compact_batch,
         _detect_compact_batch_packed,
+        _grow_cap,
+        _max_super_cap,
         effective_width,
         tight_cap,
         unpack_batch_packed,
@@ -92,17 +96,20 @@ def bench_config(batch_np, config, cap) -> tuple:
     width = effective_width(batch_np.shape[-1])
 
     # Warmup: compile + one full round including transfers + host decode,
-    # growing the cap if the frame overflows it; then right-size the cap
-    # for the timed loops (api.tight_cap: ~12% headroom over the true
-    # superword count, 512-multiple).
+    # growing the cap if the frame overflows it — via the SAME
+    # api._grow_cap policy the production overflow retries use, so the
+    # bench measures the cap regime production lands in; then right-size
+    # the cap for the timed loops (api.tight_cap: ~12% headroom over the
+    # true superword count, 512-multiple).
     dev_imgs = jax.device_put(batch_np)
+    max_cap = _max_super_cap(*batch_np.shape[-2:])
     while True:
         args = (int(config.threshold), int(config.count), config.nonmax, cap)
         packed = np.asarray(_detect_compact_batch_packed(dev_imgs, *args))
         n_supers = int(packed[:, 1].max())
         if n_supers <= cap:
             break
-        cap = max(cap * 4, 1 << (n_supers - 1).bit_length())
+        cap = _grow_cap(cap, n_supers, max_cap)
     kps = unpack_batch_packed(packed, cap, width)
     n_kp = len(kps[0])
     tight = tight_cap(n_supers, floor=1024)

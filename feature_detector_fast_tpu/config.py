@@ -72,9 +72,23 @@ class Config:
     nonmax: NonmaxMode = NonmaxMode.OFF
 
     def __post_init__(self) -> None:
-        if not (0 <= int(self.threshold) <= 255):
+        # Canonicalize to exact Python ints (rejecting lossy values like
+        # 16.9 or '16'): fields are jit-static keys, so every distinct
+        # representation would otherwise compile a duplicate XLA program —
+        # and a silently-truncated float would detect with different
+        # semantics than configured.
+        for field in ("threshold", "count"):
+            v = getattr(self, field)
+            try:
+                iv = int(v)
+            except (TypeError, ValueError):
+                raise TypeError(f"{field} must be an integer, got {v!r}")
+            if isinstance(v, str) or iv != v:
+                raise TypeError(f"{field} must be an integer, got {v!r}")
+            object.__setattr__(self, field, iv)
+        if not (0 <= self.threshold <= 255):
             raise ValueError(f"threshold must be in 0..=255, got {self.threshold}")
-        if not (MIN_COUNT <= int(self.count) <= MAX_COUNT):
+        if not (MIN_COUNT <= self.count <= MAX_COUNT):
             raise ValueError(
                 f"count must be in {MIN_COUNT}..={MAX_COUNT}, got {self.count}"
             )

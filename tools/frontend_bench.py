@@ -17,12 +17,13 @@ from __future__ import annotations
 
 import functools
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir))
 
 RESOLUTIONS = [("vga", 640, 480), ("720p", 1280, 720), ("1080p", 1920, 1080)]
 
