@@ -12,14 +12,6 @@ from feature_detector_fast_tpu.parallel import ba_sharded, mesh as meshlib
 from test_ba import make_ba_problem
 
 
-def to_f32(p):
-    return p._replace(
-        poses=p.poses.astype(jnp.float32),
-        points=p.points.astype(jnp.float32),
-        obs_uv=p.obs_uv.astype(jnp.float32),
-    )
-
-
 def test_sharded_step_matches_single_device(rng):
     gt_poses, gt_pts, p = make_ba_problem(rng, n_cams=5, n_pts=40)
     mesh = meshlib.make_mesh()

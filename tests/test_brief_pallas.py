@@ -5,24 +5,18 @@ slot; invalid slots carry garbage in both paths and are masked by the
 validity bit (models/brief.py::describe_dense)."""
 
 import numpy as np
+
+import conftest
 import pytest
 
 from feature_detector_fast_tpu.models import brief
-
-
-def _fuzz_keypoints(rng, h, w, k):
-    xy = np.stack([
-        rng.integers(0, w, k), rng.integers(0, h, k)
-    ], axis=-1).astype(np.int32)
-    valid = rng.random(k) < 0.9
-    return brief.Keypoints(xy, np.zeros(k, np.int32), valid)
 
 
 @pytest.mark.parametrize("shape", [(64, 128), (97, 130), (200, 300)])
 def test_dense_describe_matches_sparse(rng, shape):
     h, w = shape
     img = rng.integers(0, 256, shape, np.uint8)
-    kps = _fuzz_keypoints(rng, h, w, 64)
+    kps = conftest.fuzz_keypoints(rng, h, w, 64)
     d_sparse, v_sparse = brief.describe(img, kps)
     d_dense, v_dense = brief.describe_dense(img, kps, interpret=True)
     np.testing.assert_array_equal(np.asarray(v_dense), np.asarray(v_sparse))

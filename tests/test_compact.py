@@ -122,8 +122,6 @@ def test_native_expand_matches_numpy(rng):
     from feature_detector_fast_tpu.runtime import native
 
     if not native.available():
-        import pytest
-
         pytest.skip("no native toolchain")
 
     w = 96

@@ -6,18 +6,12 @@ oriented and unoriented — exactly like the dense kernel's contract
 (tests/test_brief_pallas.py)."""
 
 import numpy as np
+
+import conftest
 import pytest
 
 from feature_detector_fast_tpu.models import brief
 from feature_detector_fast_tpu.ops import patch_pallas
-
-
-def _fuzz_keypoints(rng, h, w, k):
-    xy = np.stack([
-        rng.integers(0, w, k), rng.integers(0, h, k)
-    ], axis=-1).astype(np.int32)
-    valid = rng.random(k) < 0.9
-    return brief.Keypoints(xy, np.zeros(k, np.int32), valid)
 
 
 @pytest.mark.parametrize("shape", [(64, 128), (97, 130), (200, 300)])
@@ -101,7 +95,7 @@ def test_extract_windows_fused_strip_fallback(rng, shape, monkeypatch):
 def test_patched_describe_matches_sparse(rng, shape, oriented):
     h, w = shape
     img = rng.integers(0, 256, shape, np.uint8)
-    kps = _fuzz_keypoints(rng, h, w, 64)
+    kps = conftest.fuzz_keypoints(rng, h, w, 64)
     if oriented:
         d_ref, v_ref = brief.describe_oriented(img, kps)
     else:
@@ -120,7 +114,7 @@ def test_block_sorted_feed_identical(rng, oriented):
     h, w = 200, 300
     img = rng.integers(0, 256, (h, w), np.uint8)
     for k in (1, 3, 37, 64):
-        kps = _fuzz_keypoints(rng, h, w, k)
+        kps = conftest.fuzz_keypoints(rng, h, w, k)
         d_a, v_a = brief.describe_patched(
             img, kps, oriented, interpret=True, sort_blocks=False)
         d_b, v_b = brief.describe_patched(

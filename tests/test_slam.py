@@ -5,7 +5,14 @@ import jax
 import numpy as np
 import pytest
 
-jax.config.update("jax_enable_x64", True)
+import pytest as _pytest
+
+
+@_pytest.fixture(autouse=True)
+def _x64(x64):
+    """All tests in this module run under scoped float64 (see conftest.x64:
+    a module-level global flip contaminated the whole session)."""
+    yield
 
 import jax.numpy as jnp
 

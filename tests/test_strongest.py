@@ -37,9 +37,10 @@ def test_strongest_matches_full_sort(rng, mode, k):
     ref = np.stack([xs, ys], -1).astype(np.uint32)
     np.testing.assert_array_equal(xy, ref)
     assert xy.shape[0] >= want
-    # Overshoot only by ties at the threshold.
-    assert (score[xy[:, 1], xy[:, 0]] == t_star).sum() \
-        == xy.shape[0] - (scores > t_expected).sum()
+    # Overshoot only by ties at the threshold: against the RAW detector
+    # scores (the array_equal above would make a same-expression check a
+    # tautology).
+    assert xy.shape[0] == (scores >= t_expected).sum()
 
 
 def test_strongest_k_exceeds_total(rng):

@@ -4,7 +4,14 @@ import jax
 import numpy as np
 import pytest
 
-jax.config.update("jax_enable_x64", True)
+import pytest as _pytest
+
+
+@_pytest.fixture(autouse=True)
+def _x64(x64):
+    """All tests in this module run under scoped float64 (see conftest.x64:
+    a module-level global flip contaminated the whole session)."""
+    yield
 
 import jax.numpy as jnp
 
@@ -26,14 +33,15 @@ def make_scene(rng, n=128, outliers=0, noise=0.0):
     if noise:
         pa = pa + rng.normal(0, noise, pa.shape)
         pb = pb + rng.normal(0, noise, pb.shape)
+    idx = np.zeros(0, np.int64)
     if outliers:
         idx = rng.choice(n, outliers, replace=False)
         pb[idx] = rng.uniform(-0.5, 0.5, (outliers, 2))
-    return X, R, t, pa, pb
+    return X, R, t, pa, pb, idx
 
 
 def test_eight_point_exact(rng):
-    X, R, t, pa, pb = make_scene(rng, n=8)
+    X, R, t, pa, pb, _ = make_scene(rng, n=8)
     E = twoview._eight_point(jnp.asarray(pa), jnp.asarray(pb))
     err = twoview.sampson_error(E, jnp.asarray(pa), jnp.asarray(pb))
     assert float(jnp.max(err)) < 1e-12
@@ -41,23 +49,26 @@ def test_eight_point_exact(rng):
 
 def test_ransac_with_outliers(rng):
     n = 128
-    X, R, t, pa, pb = make_scene(rng, n=n, outliers=40)
+    X, R, t, pa, pb, idx_out = make_scene(rng, n=n, outliers=40)
     valid = np.ones(n, bool)
     E, inl = twoview.ransac_essential(
         jnp.asarray(pa), jnp.asarray(pb), jnp.asarray(valid),
         jax.random.PRNGKey(3), 256)
     inl = np.asarray(inl)
-    # all true correspondences recovered, no outliers included
-    true_inl = np.ones(n, bool)
-    idx_out = np.nonzero(~inl)[0]
-    assert inl.sum() >= n - 40
+    # Every true correspondence recovered, and no planted outlier kept
+    # (the outlier points are uniform-random, far from the epipolar line
+    # at this threshold for this seed).
+    true_mask = np.ones(n, bool)
+    true_mask[idx_out] = False
+    assert inl[true_mask].all()
+    assert not inl[idx_out].any()
     err = np.asarray(twoview.sampson_error(E, jnp.asarray(pa), jnp.asarray(pb)))
     assert (err[inl] < 1e-4).all()
 
 
 def test_recover_pose_direction(rng):
     n = 96
-    X, R, t, pa, pb = make_scene(rng, n=n)
+    X, R, t, pa, pb, _ = make_scene(rng, n=n)
     # true essential: E = [t]_x R
     tx = np.asarray(lie.hat(jnp.asarray(t)))
     E_true = tx @ R
@@ -72,7 +83,7 @@ def test_recover_pose_direction(rng):
 
 def test_triangulate_exact(rng):
     n = 64
-    X, R, t, pa, pb = make_scene(rng, n=n)
+    X, R, t, pa, pb, _ = make_scene(rng, n=n)
     Xh = twoview.triangulate(
         jnp.eye(3, dtype=jnp.float64), jnp.zeros(3, jnp.float64),
         jnp.asarray(R), jnp.asarray(t), jnp.asarray(pa), jnp.asarray(pb))
@@ -82,7 +93,7 @@ def test_triangulate_exact(rng):
 def test_full_pipeline_pose_from_matches(rng):
     """RANSAC + recover_pose end-to-end with noise and outliers."""
     n = 200
-    X, R, t, pa, pb = make_scene(rng, n=n, outliers=50, noise=1e-4)
+    X, R, t, pa, pb, _ = make_scene(rng, n=n, outliers=50, noise=1e-4)
     E, inl = twoview.ransac_essential(
         jnp.asarray(pa), jnp.asarray(pb), jnp.ones(n, bool),
         jax.random.PRNGKey(11), 512, 1e-5)
