@@ -79,11 +79,16 @@ class Config:
         # semantics than configured.
         for field in ("threshold", "count"):
             v = getattr(self, field)
+            # bool is an int subclass: int(True) == True would pass the
+            # round-trip check and turn threshold=True into 1 silently.
+            if isinstance(v, (bool, str)):
+                raise TypeError(f"{field} must be an integer, got {v!r}")
             try:
                 iv = int(v)
-            except (TypeError, ValueError):
+            except (TypeError, ValueError, OverflowError):
+                # OverflowError: int(float('inf'))
                 raise TypeError(f"{field} must be an integer, got {v!r}")
-            if isinstance(v, str) or iv != v:
+            if iv != v:
                 raise TypeError(f"{field} must be an integer, got {v!r}")
             object.__setattr__(self, field, iv)
         if not (0 <= self.threshold <= 255):

@@ -17,15 +17,18 @@ process group.  What the framework owns is:
 
 from __future__ import annotations
 
+import logging
 import os
 import threading
 import time
-from typing import Any, Dict, Optional
+from typing import Any, Callable, Dict, Optional
 
 import numpy as np
 
 from ..utils import checkpoint as ckpt
 
+
+_log = logging.getLogger(__name__)
 
 _initialized = False
 
@@ -71,42 +74,74 @@ def initialize(
         # Best-effort pod auto-detection: cluster markers also appear on
         # single-chip attachments (e.g. TPU_WORKER_ID on a relay-attached
         # chip) where no coordinator is derivable — fall back to
-        # single-host rather than failing.
+        # single-host rather than failing, but SAY SO: a real pod
+        # misconfiguration otherwise degrades to a silent single-host run.
         try:
             jax.distributed.initialize()
             _initialized = True
-        except (ValueError, RuntimeError):
-            pass
+        except (ValueError, RuntimeError) as e:
+            _log.warning(
+                "jax.distributed auto-initialization failed (%s: %s); "
+                "continuing single-host.  If this IS a multi-host pod, "
+                "pass coordinator_address/num_processes/process_id "
+                "explicitly.", type(e).__name__, e)
     return jax.process_index()
 
 
-def healthcheck(timeout_s: float = 60.0) -> bool:
-    """Cross-host heartbeat: a tiny psum across every host's local devices
-    (global axis over all processes).  Returns True iff the collective
+#: At most ONE heartbeat collective is ever in flight: a wedged peer blocks
+#: the psum indefinitely, and re-issuing a new collective per call would
+#: accumulate one blocked daemon thread per healthcheck against a dead pod.
+_hc_lock = threading.Lock()
+_hc_inflight: Dict[str, Any] = {"thread": None}
+
+
+def _heartbeat_collective() -> bool:
+    """The actual heartbeat: a tiny psum across every host's local devices
+    (global axis over all processes); True iff the global device count
+    comes back."""
+    import jax
+    import jax.numpy as jnp
+
+    devs = jax.local_devices()
+    x = jax.device_put_replicated(jnp.ones((), jnp.int32), devs)
+    total = jax.pmap(lambda v: jax.lax.psum(v, "i"), axis_name="i")(x)
+    return int(np.asarray(total)[0]) == jax.device_count()
+
+
+def healthcheck(
+    timeout_s: float = 60.0,
+    _collective: Optional[Callable[[], bool]] = None,
+) -> bool:
+    """Cross-host heartbeat.  Returns True iff the heartbeat collective
     completes within ``timeout_s`` with the expected global device count.
 
     The collective runs in a daemon thread so a WEDGED peer — the failure
     this detector exists for, which blocks the psum indefinitely — turns
-    into a timely False instead of hanging the caller.  (The abandoned
-    thread stays blocked in the runtime; callers are expected to
-    checkpoint and abort so the scheduler restarts the slice, per the
-    module docstring.)"""
-    import jax
-    import jax.numpy as jnp
+    into a timely False instead of hanging the caller.  The in-flight
+    collective is a singleton: while a previous heartbeat is still blocked,
+    further healthchecks return False immediately instead of stacking more
+    blocked threads (the answer is already "unhealthy").  Callers are
+    expected to checkpoint and abort so the scheduler restarts the slice.
 
-    result: Dict[str, Any] = {}
+    ``_collective`` is a test seam replacing the psum heartbeat."""
+    fn = _collective or _heartbeat_collective
+    with _hc_lock:
+        prev = _hc_inflight["thread"]
+        if prev is not None and prev.is_alive():
+            return False
+        result: Dict[str, Any] = {}
 
-    def run():
-        try:
-            devs = jax.local_devices()
-            x = jax.device_put_replicated(jnp.ones((), jnp.int32), devs)
-            total = jax.pmap(lambda v: jax.lax.psum(v, "i"), axis_name="i")(x)
-            result["ok"] = int(np.asarray(total)[0]) == jax.device_count()
-        except Exception:  # noqa: BLE001 — any failure is a failed heartbeat
-            result["ok"] = False
+        def run():
+            try:
+                result["ok"] = fn()
+            except Exception as e:  # noqa: BLE001 — any failure is a failed heartbeat
+                _log.warning("heartbeat collective failed: %s: %s",
+                             type(e).__name__, e)
+                result["ok"] = False
 
-    t = threading.Thread(target=run, daemon=True)
-    t.start()
+        t = threading.Thread(target=run, daemon=True)
+        _hc_inflight["thread"] = t
+        t.start()
     t.join(timeout_s)
     return bool(result.get("ok", False))
 

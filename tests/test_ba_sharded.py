@@ -12,6 +12,19 @@ from feature_detector_fast_tpu.parallel import ba_sharded, mesh as meshlib
 from test_ba import make_ba_problem
 
 
+@pytest.fixture(autouse=True)
+def _x64(x64):
+    """Strict sharded-vs-single equivalence runs under scoped float64:
+    psum changes float summation ORDER, and CG amplifies that
+    reduction-order noise, so tight elementwise tolerances are only
+    meaningful where the noise floor (~1e-13 relative in f64) sits far
+    below them.  The f32 regime is covered separately by
+    test_sharded_step_f32_cost_agreement, which asserts what f32 CAN
+    guarantee (cost agreement + same convergence), not raw pose entries
+    at 1e-6."""
+    yield
+
+
 def test_sharded_step_matches_single_device(rng):
     gt_poses, gt_pts, p = make_ba_problem(rng, n_cams=5, n_pts=40)
     mesh = meshlib.make_mesh()
@@ -24,6 +37,27 @@ def test_sharded_step_matches_single_device(rng):
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(points8), np.asarray(points1),
                                atol=1e-5)
+
+
+def test_sharded_step_f32_cost_agreement(rng, x64):
+    """f32 regime (TPU-realistic): psum reduction-order noise makes raw
+    pose entries diverge (observed up to ~1e-3 relative through 30 CG
+    iterations), so the defensible f32 contract is that both steps reach
+    the SAME cost basin: post-step total cost agrees to a few ulps of the
+    cost's own conditioning, and both reduce the initial cost equally."""
+    del x64  # fixture requested only to restore state; run body in f32
+    jax.config.update("jax_enable_x64", False)
+    gt_poses, gt_pts, p = make_ba_problem(rng, n_cams=5, n_pts=40)
+    assert p.poses.dtype == jnp.float32
+    mesh = meshlib.make_mesh()
+    c0 = float(ba.total_cost(p))
+    poses1, points1, _ = ba.ba_step(p, 1e-6, 30)
+    poses8, points8, _ = ba_sharded.ba_step_sharded(p, mesh, 1e-6, 30)
+    c1 = float(ba.total_cost(p._replace(poses=poses1, points=points1)))
+    c8 = float(ba.total_cost(p._replace(poses=poses8, points=points8)))
+    assert c1 < c0 * 0.5 and c8 < c0 * 0.5  # both steps made real progress
+    # same basin: costs agree to f32 reduction-order tolerance
+    np.testing.assert_allclose(c8, c1, rtol=1e-4)
 
 
 def test_sharded_optimize_converges(rng):

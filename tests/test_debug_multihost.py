@@ -45,6 +45,37 @@ def test_healthcheck_all_devices():
     assert multihost.healthcheck() is True
 
 
+def test_healthcheck_timeout_returns_false_promptly():
+    """A wedged peer blocks the heartbeat collective forever; the caller
+    must get False within ~timeout_s, and subsequent healthchecks must not
+    stack additional blocked threads (singleton in-flight collective)."""
+    import threading
+    import time
+
+    release = threading.Event()
+
+    def wedged():
+        release.wait(30.0)  # simulates a psum blocked on a dead host
+        return True
+
+    t0 = time.perf_counter()
+    ok = multihost.healthcheck(timeout_s=0.2, _collective=wedged)
+    dt = time.perf_counter() - t0
+    assert ok is False
+    assert dt < 5.0, dt
+    # the wedged collective is still in flight: immediate False, no new thread
+    t0 = time.perf_counter()
+    assert multihost.healthcheck(timeout_s=10.0, _collective=wedged) is False
+    assert time.perf_counter() - t0 < 1.0
+    n_threads = threading.active_count()
+    for _ in range(5):
+        assert multihost.healthcheck(timeout_s=10.0, _collective=wedged) is False
+    assert threading.active_count() <= n_threads
+    release.set()  # unblock; healthy heartbeat works again afterwards
+    time.sleep(0.05)
+    assert multihost.healthcheck(timeout_s=10.0) is True
+
+
 def test_initialize_single_host_noop():
     assert multihost.initialize() == 0
 
