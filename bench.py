@@ -48,6 +48,7 @@ BATCH = 16        # e2e loop (host transfer bound through the relay)
 CHIP_BATCH = 64   # chip-sustained loop (amortizes dispatch)
 ROUNDS = 10
 CHIP_ROUNDS = 20  # on-device scan rounds (one dispatch total)
+CHIP_REPS = 5     # repetitions of the on-device scan; median is headline
 # Initial superword-compaction caps (256-pixel superwords with >= 1
 # keypoint, per frame; ops.compact.SUPER_SPAN words each).  The warmup
 # round measures the TRUE superword count and re-sizes the cap to the next
@@ -61,7 +62,10 @@ CAPS = {"off": 1 << 12, "max_threshold": 1 << 11, "sum_absolute": 1 << 11}
 def build_1080p_frame() -> np.ndarray:
     """Benchmark frame.  Like the reference bench (benchmark.rs:6-7), the
     INPUT_FILE env var substitutes a real frame; the default is the
-    committed 300x200 frame tiled to 1080p."""
+    committed natural-statistics 1080p golden frame (media/golden_1080p.png
+    — single seamless render, 24130 OFF keypoints vs the reference frame's
+    23184; tests/test_golden.py pins its hash and counts).  Falls back to
+    tiling the 300x200 reference frame if the golden frame is absent."""
     import os
 
     from feature_detector_fast_tpu.utils.image import load_luma8
@@ -69,9 +73,12 @@ def build_1080p_frame() -> np.ndarray:
     override = os.environ.get("INPUT_FILE")
     if override:
         return load_luma8(override)
-    media = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "media", "Screenshot315_torch_grey.png")
-    small = load_luma8(media)  # 200x300
+    media_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "media")
+    golden = os.path.join(media_dir, "golden_1080p.png")
+    if os.path.exists(golden):
+        return load_luma8(golden)
+    small = load_luma8(os.path.join(media_dir, "Screenshot315_torch_grey.png"))
     reps_y = -(-1080 // small.shape[0])
     reps_x = -(-1920 // small.shape[1])
     return np.tile(small, (reps_y, reps_x))[:1080, :1920].copy()
@@ -157,14 +164,22 @@ def bench_config(batch_np, config, cap) -> tuple:
 
     # Warm with the SAME static round count as the timed call — a different
     # scan length is a different XLA program, and its compile would land
-    # inside the timed region.
+    # inside the timed region.  The on-device scan is repeated CHIP_REPS
+    # times and the MEDIAN is the headline: single timings through the
+    # network-relay attach jitter (CLAUDE.md documents ±50% across
+    # processes; repeated in-process scans agree within ~2%), and the
+    # reference's criterion harness likewise reports a CI, not a point
+    # (benches/benchmark.rs + README.md:54-65).
     zeros = jax.device_put(np.zeros(CHIP_ROUNDS, np.uint8))
     int(chip_loop(dev_batch, zeros, CHIP_ROUNDS))
-    t0 = time.perf_counter()
-    int(chip_loop(dev_batch, zeros, CHIP_ROUNDS))
-    dt_dev = time.perf_counter() - t0
+    dts = []
+    for _ in range(CHIP_REPS):
+        t0 = time.perf_counter()
+        int(chip_loop(dev_batch, zeros, CHIP_ROUNDS))
+        dts.append(time.perf_counter() - t0)
+    per_frame = sorted(d / (CHIP_ROUNDS * CHIP_BATCH) for d in dts)
 
-    return dt / (ROUNDS * BATCH), n_kp, dt_dev / (CHIP_ROUNDS * CHIP_BATCH)
+    return dt / (ROUNDS * BATCH), n_kp, per_frame
 
 
 def main() -> int:
@@ -188,14 +203,17 @@ def main() -> int:
         ("max_threshold", Config(16, 9, NonmaxMode.MAX_THRESHOLD)),
         ("sum_absolute", Config(16, 9, NonmaxMode.SUM_ABSOLUTE)),
     ):
-        sec_e2e, n_kp, sec_chip = bench_config(batch_np, config, CAPS[name])
+        sec_e2e, n_kp, per_frame = bench_config(batch_np, config, CAPS[name])
+        sec_chip = per_frame[len(per_frame) // 2]  # median of CHIP_REPS scans
         results[name] = (1.0 / sec_chip, 1.0 / sec_e2e)
         print(
             f"{name}: chip-sustained {sec_chip * 1e3:.3f} ms/frame = "
             f"{1.0 / sec_chip:.1f} f/s ({1.0 / sec_chip / BASELINES[name]:.2f}x "
-            f"reference) | e2e incl. host materialization over the network "
-            f"relay {sec_e2e * 1e3:.3f} ms = {1.0 / sec_e2e:.1f} f/s "
-            f"({n_kp} keypoints)",
+            f"reference) [min/median/max over {len(per_frame)} scans: "
+            f"{per_frame[0] * 1e3:.3f}/{sec_chip * 1e3:.3f}/"
+            f"{per_frame[-1] * 1e3:.3f} ms] | e2e incl. host materialization "
+            f"over the network relay {sec_e2e * 1e3:.3f} ms = "
+            f"{1.0 / sec_e2e:.1f} f/s ({n_kp} keypoints)",
             file=sys.stderr,
         )
 

@@ -65,6 +65,44 @@ def test_dense_matches_cv2_reference_image(reference_image):
     assert ours_nm == cv2_nm
 
 
+def test_dense_matches_cv2_native_1080p():
+    """OpenCV parity at the reference's true benchmark scale: the committed
+    natural-statistics 1080p frame (media/golden_1080p.png, 24130 OFF
+    keypoints vs the reference frame's 23184 — README.md:58-59).
+
+    MaxThreshold differs from MODERN cv2 in exactly the border rows
+    y==3 and y==H-4: OpenCV 3.2 — the parity target the reference pins
+    (opencv_compat.rs:238-240, fast_simd.rs:590-592) — drops nonmax
+    keypoints there, and later OpenCV keeps them.  So OFF must match
+    bit-exactly, and MaxThreshold must match after trimming those two rows
+    from the modern-cv2 output (with every cv2-only point IN those rows)."""
+    import os
+
+    from feature_detector_fast_tpu.utils.image import load_luma8
+
+    img = load_luma8(os.path.join(os.path.dirname(__file__), os.pardir,
+                                  "media", "golden_1080p.png"))
+    h = img.shape[0]
+
+    det = cv2.FastFeatureDetector_create(
+        threshold=16, nonmaxSuppression=False,
+        type=cv2.FAST_FEATURE_DETECTOR_TYPE_9_16)
+    cv2_off = sorted((int(k.pt[0]), int(k.pt[1])) for k in det.detect(img))
+    ours_off = sorted(as_tuples(detect_arrays(img, Config(16, 9, NonmaxMode.OFF))))
+    assert ours_off == cv2_off
+
+    det_nm = cv2.FastFeatureDetector_create(
+        threshold=16, nonmaxSuppression=True,
+        type=cv2.FAST_FEATURE_DETECTOR_TYPE_9_16)
+    cv2_nm = set((int(k.pt[0]), int(k.pt[1])) for k in det_nm.detect(img))
+    ours_nm = set(
+        as_tuples(detect_arrays(img, Config(16, 9, NonmaxMode.MAX_THRESHOLD))))
+    assert ours_nm - cv2_nm == set()
+    border_only = cv2_nm - ours_nm
+    assert all(y in (3, h - 4) for _, y in border_only), border_only
+    assert set(p for p in cv2_nm if p[1] not in (3, h - 4)) == ours_nm
+
+
 def test_dense_emission_order_row_major(reference_image):
     """Keypoints come out in row-major (y, x) order like the reference's
     row-scan push order (fast_simd.rs:550)."""
