@@ -10,6 +10,15 @@ Composition of the framework's layers into a trajectory estimator:
            -> pose-graph optimization over the chained odometry
            -> optional windowed bundle adjustment refinement
 
+TPU-shaped dataflow: every per-pair geometric estimate (RANSAC, pose
+recovery, triangulation, transported depths) for the WHOLE sequence runs
+as ONE vmapped device dispatch over a fixed-capacity (P, K, ...) batch —
+the host never round-trips per pair.  Cross-pair linking (scale chaining,
+loop-closure scale, multi-frame tracks) is exact integer slot indexing:
+correspondence slot i of pair k IS keypoint slot i of frame k, and
+``idx_b[k, i]`` is the matched keypoint slot of frame k+1 straight from
+the matcher — no floating-point coordinate keys anywhere.
+
 Two entry layers:
   * `run_vo_images`: full image pipeline (uses the TPU front-end),
   * `run_vo_matches`: from per-pair correspondence arrays — the geometric
@@ -23,14 +32,15 @@ monocular convention).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, NamedTuple, Optional, Tuple
+import functools
+from typing import List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..utils.metrics import ate_rmse
-from . import brief, lie, match, posegraph, twoview
+from . import brief, match, posegraph, twoview
 
 
 @dataclasses.dataclass(frozen=True)
@@ -45,131 +55,171 @@ class VOConfig:
     seed: int = 0
 
 
-class PairEstimate(NamedTuple):
-    """Relative pose estimate between consecutive frames a -> b.
+class PairBatch(NamedTuple):
+    """Fixed-capacity correspondence batch for P frame pairs.
 
-    Convention: x_b = R x_a + t_unit * scale (camera-frame), so
-    cam_b_T_cam_a = [R | t * scale].
+    Slot semantics: correspondence slot i of pair k is keypoint slot i of
+    the pair's FIRST frame; ``idx_b[k, i]`` is the matched keypoint slot
+    of the pair's second frame (-1 / invalid where unmatched).  Synthetic
+    inputs whose slot is a landmark id use the identity mapping.
     """
 
-    R: np.ndarray
-    t_unit: np.ndarray
-    scale: float
-    n_inliers: int
-    depths_a: np.ndarray  # per-inlier depth of the triangulated point in a
-    inlier_pa: np.ndarray  # (N, 2) normalized coords in frame a
-    inlier_pb: np.ndarray
+    pa: np.ndarray  # (P, K, 2) normalized coords in the first frame
+    pb: np.ndarray  # (P, K, 2) normalized coords in the second frame
+    valid: np.ndarray  # (P, K) bool
+    idx_b: np.ndarray  # (P, K) int32 second-frame keypoint slot, -1 invalid
 
 
-def estimate_pair(
-    pa: jax.Array, pb: jax.Array, valid: jax.Array, key, config: VOConfig
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Essential RANSAC + pose recovery + triangulation for one pair of
-    normalized correspondence sets.  Returns (R, t_unit, inlier mask,
-    depths in frame a, 3D points in frame a)."""
-    E, inl = twoview.ransac_essential(
-        pa, pb, valid, key, config.ransac_hypotheses, config.ransac_threshold
-    )
-    R, t, _ = twoview.recover_pose(E, pa, pb, inl)
+class PairEstimates(NamedTuple):
+    """Per-pair geometry from one batched device dispatch (host numpy).
+
+    Convention: x_b = R x_a + t_unit (camera-frame, unit baseline), so
+    cam_b_T_cam_a = [R | t_unit * scale] once a scale is chained on.
+    """
+
+    R: np.ndarray  # (P, 3, 3)
+    t_unit: np.ndarray  # (P, 3)
+    inl: np.ndarray  # (P, K) bool RANSAC inliers
+    depths_a: np.ndarray  # (P, K) triangulated depth in the first frame
+    depths_b: np.ndarray  # (P, K) the same points' depth in the second frame
+
+
+def _as_pair_batch(
+    pair_data: Sequence[Tuple[np.ndarray, ...]],
+) -> PairBatch:
+    """Normalize a list of (pa, pb, valid[, idx_b]) tuples into a padded
+    PairBatch.  Missing idx_b defaults to the identity slot mapping (the
+    synthetic-data convention: slot == landmark id in every frame)."""
+    kmax = max(np.asarray(t[0]).shape[0] for t in pair_data)
+    p = len(pair_data)
+    pa = np.zeros((p, kmax, 2), np.asarray(pair_data[0][0]).dtype)
+    pb = np.zeros_like(pa)
+    valid = np.zeros((p, kmax), bool)
+    idx_b = np.full((p, kmax), -1, np.int32)
+    for k, entry in enumerate(pair_data):
+        a, b, v = (np.asarray(x) for x in entry[:3])
+        n = a.shape[0]
+        pa[k, :n] = a
+        pb[k, :n] = b
+        valid[k, :n] = v
+        if len(entry) > 3:
+            idx_b[k, :n] = np.asarray(entry[3], np.int32)
+        else:
+            idx_b[k, :n] = np.arange(n, dtype=np.int32)
+        idx_b[k, :n] = np.where(valid[k, :n], idx_b[k, :n], -1)
+    return PairBatch(pa, pb, valid, idx_b)
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def _estimate_pairs_device(pa, pb, valid, keys, hypotheses, threshold):
+    """vmapped essential-RANSAC + pose recovery + triangulation for a
+    (P, K, 2) batch of correspondence sets — the whole sequence's two-view
+    geometry in one XLA program."""
     eye = jnp.eye(3, dtype=pa.dtype)
     zero = jnp.zeros(3, dtype=pa.dtype)
-    X = twoview.triangulate(eye, zero, R, t, pa, pb)
-    return (
-        np.asarray(R),
-        np.asarray(t),
-        np.asarray(inl),
-        np.asarray(X[..., 2]),
-        np.asarray(X),
+
+    def one(pa1, pb1, v1, key):
+        E, inl = twoview.ransac_essential(
+            pa1, pb1, v1, key, hypotheses, threshold
+        )
+        R, t, _ = twoview.recover_pose(E, pa1, pb1, inl)
+        X = twoview.triangulate(eye, zero, R, t, pa1, pb1)
+        return R, t, inl, X[..., 2], (X @ R.T + t)[..., 2]
+
+    return jax.vmap(one)(pa, pb, valid, keys)
+
+
+def estimate_pairs(
+    batch: PairBatch, config: VOConfig, seed_offset: int = 0
+) -> PairEstimates:
+    """Batched two-view estimation: ONE device dispatch, ONE host fetch
+    for all P pairs (SURVEY.md §3 TPU mapping — don't serialize the VO
+    loop on the host/device boundary)."""
+    p = batch.pa.shape[0]
+    keys = jax.random.split(jax.random.PRNGKey(config.seed + seed_offset), p)
+    out = _estimate_pairs_device(
+        jnp.asarray(batch.pa),
+        jnp.asarray(batch.pb),
+        jnp.asarray(batch.valid),
+        keys,
+        config.ransac_hypotheses,
+        config.ransac_threshold,
     )
+    R, t, inl, da, db = jax.device_get(out)
+    return PairEstimates(R, t, inl.astype(bool), da, db)
 
 
-def _chain_scales(pairs: List[PairEstimate]) -> List[float]:
-    """Propagate monocular scale between consecutive pair estimates by
-    comparing depths of points matched through the shared frame.
+def _chain_scales(est: PairEstimates, idx_b: np.ndarray) -> np.ndarray:
+    """Propagate monocular scale between consecutive pair estimates.
 
-    Pair k triangulates in frame k's camera; pair k+1 triangulates in
-    frame k+1's camera.  A point seen in both pairs has depth d_k (in
-    frame k) and d_{k+1}; transported through pair k's pose its frame-k+1
-    depth is known up to pair k's scale, so the ratio of medians fixes
-    pair k+1's scale relative to pair k.  First pair defines scale 1.
+    Pair k triangulates in frame k's camera; pair k+1 in frame k+1's.  A
+    point inlying in both pairs is linked EXACTLY through the shared
+    frame: pair k's slot i lands on frame-(k+1) keypoint slot idx_b[k, i],
+    which is pair k+1's correspondence slot.  Its depth seen from frame
+    k+1 is depths_b[k] (up to pair k's scale) and depths_a[k+1] (up to
+    pair k+1's), so the median depth ratio fixes the relative scale.
+    First pair defines scale 1.
     """
-    scales = [1.0]
-    for k in range(1, len(pairs)):
-        prev, cur = pairs[k - 1], pairs[k]
-        # points of prev seen in frame k (target of prev) with coordinates
-        # prev transported: depth in frame k = (R_prev X + t_prev)_z * s_prev
-        # match by normalized coordinates in the shared frame.
-        prev_in_shared = {tuple(np.round(p, 5)): d for p, d in zip(
-            prev.inlier_pb, _transported_depths(prev))}
-        ratios = []
-        for p, d_cur in zip(cur.inlier_pa, cur.depths_a):
-            keyp = tuple(np.round(p, 5))
-            d_prev = prev_in_shared.get(keyp)
-            if d_prev is not None and d_cur > 1e-6 and d_prev > 1e-6:
-                ratios.append(d_prev / d_cur)
-        s = scales[k - 1] * (float(np.median(ratios)) if ratios else 1.0)
-        scales.append(s)
+    p, k_cap = est.inl.shape
+    scales = np.ones(p)
+    for k in range(1, p):
+        m_prev = est.inl[k - 1] & (idx_b[k - 1] >= 0) & (
+            est.depths_b[k - 1] > 1e-6
+        )
+        shared = np.full(k_cap, np.nan)
+        shared[idx_b[k - 1, m_prev]] = est.depths_b[k - 1, m_prev]
+        m_cur = est.inl[k] & (est.depths_a[k] > 1e-6)
+        d_prev = shared[np.arange(k_cap)[m_cur]]
+        d_cur = est.depths_a[k, m_cur]
+        ok = np.isfinite(d_prev) & (d_prev > 1e-6)
+        ratio = float(np.median(d_prev[ok] / d_cur[ok])) if ok.any() else 1.0
+        scales[k] = scales[k - 1] * ratio
     return scales
 
 
-def _transported_depths(pair: PairEstimate) -> np.ndarray:
-    """Depths of pair's triangulated points expressed in the TARGET frame
-    (frame b), at the pair's own (unit-baseline) scale."""
-    X = np.stack(
-        [pair.inlier_pa[:, 0] * pair.depths_a,
-         pair.inlier_pa[:, 1] * pair.depths_a,
-         pair.depths_a], axis=-1)
-    Xb = X @ pair.R.T + pair.t_unit
-    return Xb[:, 2]
-
-
 def run_vo_matches(
-    pair_data: List[Tuple[np.ndarray, np.ndarray, np.ndarray]],
+    pair_data: Sequence[Tuple[np.ndarray, ...]],
     config: VOConfig,
-    loop_pairs: Optional[List[Tuple[int, int, np.ndarray, np.ndarray, np.ndarray]]] = None,
+    loop_pairs: Optional[Sequence[Tuple[int, int, np.ndarray, np.ndarray, np.ndarray]]] = None,
     metrics: Optional[list] = None,
     ba_refine: bool = False,
     mesh=None,
 ) -> np.ndarray:
     """Geometric VO from per-pair normalized correspondences.
 
-    pair_data[k] = (pa, pb, valid) for frames (k, k+1), already in
-    normalized camera coordinates.  ``loop_pairs`` optionally adds
-    non-consecutive constraints (i, j, pa, pb, valid) — loop closures —
-    whose monocular scale is recovered against frame i's local depths
-    (same median-depth trick as odometry chaining).  Returns (F, 4, 4)
-    world_T_cam poses (frame 0 at identity), after pose-graph
-    optimization.  ``metrics``, if given, is appended with one dict per
-    pair (SURVEY.md §5.5 structured per-frame metrics).
+    pair_data[k] = (pa, pb, valid[, idx_b]) for frames (k, k+1), already
+    in normalized camera coordinates (idx_b = second-frame keypoint slot
+    per correspondence; identity if omitted).  ``loop_pairs`` optionally
+    adds non-consecutive constraints (i, j, pa, pb, valid) — loop
+    closures — whose slots must be frame-i keypoint slots so their
+    monocular scale links against pair i's depths by exact slot index.
+    Returns (F, 4, 4) world_T_cam poses (frame 0 at identity), after
+    pose-graph optimization.  ``metrics``, if given, is appended with one
+    dict per pair (SURVEY.md §5.5 structured per-frame metrics).
     """
-    key = jax.random.PRNGKey(config.seed)
-    pairs: List[PairEstimate] = []
-    for k, (pa, pb, valid) in enumerate(pair_data):
-        key, sub = jax.random.split(key)
-        R, t, inl, depths, X = estimate_pair(
-            jnp.asarray(pa), jnp.asarray(pb), jnp.asarray(valid), sub, config
-        )
-        pairs.append(PairEstimate(
-            R, t, 1.0, int(inl.sum()), depths[inl], pa[inl], pb[inl]))
-        if metrics is not None:
+    batch = _as_pair_batch(pair_data)
+    est = estimate_pairs(batch, config)
+    if metrics is not None:
+        for k in range(batch.pa.shape[0]):
             metrics.append({
                 "pair": (k, k + 1),
-                "matches": int(np.asarray(valid).sum()),
-                "inliers": int(inl.sum()),
+                "matches": int(batch.valid[k].sum()),
+                "inliers": int(est.inl[k].sum()),
             })
 
-    scales = _chain_scales(pairs)
+    scales = _chain_scales(est, batch.idx_b)
 
     # integrate odometry: world frame = camera 0
     # cam_{k+1}_T_cam_k = [R | s t]; world_T_cam_{k+1} =
     #     world_T_cam_k @ inv(cam_{k+1}_T_cam_k)
-    n = len(pairs) + 1
+    p = batch.pa.shape[0]
+    n = p + 1
     poses = [np.eye(4)]
     rels = []
-    for k, (pair, s) in enumerate(zip(pairs, scales)):
+    for k in range(p):
         Tba = np.eye(4)
-        Tba[:3, :3] = pair.R
-        Tba[:3, 3] = pair.t_unit * s
+        Tba[:3, :3] = est.R[k]
+        Tba[:3, 3] = est.t_unit[k] * scales[k]
         rel = np.linalg.inv(Tba)  # cam_k_T_cam_{k+1}
         rels.append(rel)
         poses.append(poses[-1] @ rel)
@@ -180,39 +230,56 @@ def run_vo_matches(
     edge_T = list(rels)
     edge_w = [1.0] * (n - 1)
 
-    # Loop-closure edges: estimate relative pose (i -> j), recover its
-    # monocular scale by comparing frame-i triangulated depths against the
-    # odometry chain's frame-i depths (shared-coordinate median ratio).
-    for (i, j, pa, pb, valid) in loop_pairs or []:
-        key, sub = jax.random.split(key)
-        R, t, inl, depths, X = estimate_pair(
-            jnp.asarray(pa), jnp.asarray(pb), jnp.asarray(valid), sub, config)
-        if int(inl.sum()) < 16 or i >= len(pairs):
-            continue
-        ref = pairs[i]  # pair (i, i+1): depths in frame i at scale scales[i]
-        ref_depths = {tuple(np.round(p, 5)): d * scales[i]
-                      for p, d in zip(ref.inlier_pa, ref.depths_a)}
-        ratios = []
-        for p, d in zip(pa[inl], depths[inl]):
-            dr = ref_depths.get(tuple(np.round(p, 5)))
-            if dr is not None and d > 1e-6:
-                ratios.append(dr / d)
-        if len(ratios) < 8:
-            continue
-        s_loop = float(np.median(ratios))
-        Tji = np.eye(4)
-        Tji[:3, :3] = R
-        Tji[:3, 3] = t * s_loop
-        edge_i.append(i)
-        edge_j.append(j)
-        edge_T.append(np.linalg.inv(Tji))  # measured T_i^-1 T_j
-        edge_w.append(1.0)
-        if metrics is not None:
-            metrics.append({
-                "pair": (i, j), "loop_closure": True,
-                "matches": int(np.asarray(valid).sum()),
-                "inliers": int(inl.sum()), "scale": s_loop,
-            })
+    # Loop-closure edges: ALL loop pairs estimated in one more batched
+    # dispatch; each recovers its monocular scale against pair i's chained
+    # depths by exact frame-i slot index.
+    if loop_pairs:
+        lbatch = _as_pair_batch([(pa, pb, v) for (_, _, pa, pb, v) in loop_pairs])
+        if lbatch.pa.shape[1] != batch.pa.shape[1]:
+            # pad the narrower batch's slot axis so slot indices align
+            k_cap = max(lbatch.pa.shape[1], batch.pa.shape[1])
+
+            def pad(b: PairBatch) -> PairBatch:
+                extra = k_cap - b.pa.shape[1]
+                if extra == 0:
+                    return b
+                return PairBatch(
+                    np.pad(b.pa, ((0, 0), (0, extra), (0, 0))),
+                    np.pad(b.pb, ((0, 0), (0, extra), (0, 0))),
+                    np.pad(b.valid, ((0, 0), (0, extra))),
+                    np.pad(b.idx_b, ((0, 0), (0, extra)), constant_values=-1),
+                )
+
+            lbatch, batch = pad(lbatch), pad(batch)
+        lest = estimate_pairs(lbatch, config, seed_offset=1)
+        for li, (i, j, _, _, _) in enumerate(loop_pairs):
+            n_inl = int(lest.inl[li].sum())
+            if n_inl < 16 or i >= p:
+                continue
+            # frame-i depths from the odometry chain, at chained scale
+            m = (
+                est.inl[i]
+                & lest.inl[li]
+                & (est.depths_a[i] > 1e-6)
+                & (lest.depths_a[li] > 1e-6)
+            )
+            if m.sum() < 8:
+                continue
+            ratios = est.depths_a[i, m] * scales[i] / lest.depths_a[li, m]
+            s_loop = float(np.median(ratios))
+            Tji = np.eye(4)
+            Tji[:3, :3] = lest.R[li]
+            Tji[:3, 3] = lest.t_unit[li] * s_loop
+            edge_i.append(i)
+            edge_j.append(j)
+            edge_T.append(np.linalg.inv(Tji))  # measured T_i^-1 T_j
+            edge_w.append(1.0)
+            if metrics is not None:
+                metrics.append({
+                    "pair": (i, j), "loop_closure": True,
+                    "matches": int(lbatch.valid[li].sum()),
+                    "inliers": n_inl, "scale": s_loop,
+                })
 
     poses_j = jnp.asarray(poses)  # float32 unless x64 is enabled
     g = posegraph.PoseGraph(
@@ -226,15 +293,17 @@ def run_vo_matches(
     opt_poses, _ = posegraph.optimize(g, config.pose_graph_iters, "dense")
     result = np.asarray(opt_poses)
     if ba_refine:
-        result = refine_with_ba(result, pairs, mesh=mesh)
+        result = refine_with_ba(result, batch, est, mesh=mesh)
     return result
 
 
 def frontend_matches(
     frames: List[np.ndarray], config: VOConfig
-) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
     """Run the TPU front-end over a frame list; returns per-consecutive-
-    pair (pa, pb, valid) in normalized camera coordinates.
+    pair (pa, pb, valid, idx_b) in normalized camera coordinates, where
+    slot i is frame k's keypoint slot i and idx_b the matched keypoint
+    slot of frame k+1 (exact track linkage for scale chaining).
 
     Batched: ONE dispatch detects+describes every frame, one vmapped
     dispatch matches all consecutive pairs — per-frame dispatches each pay
@@ -249,14 +318,14 @@ def frontend_matches(
         pa, pb, ok = match.match_points(kxy_a, kxy_b, m)
         na = twoview.normalize_points(pa.astype(jnp.float32), config.camera)
         nb = twoview.normalize_points(pb.astype(jnp.float32), config.camera)
-        return na, nb, ok
+        return na, nb, ok, m.idx_b
 
-    na, nb, ok = jax.jit(jax.vmap(pair_match))(
+    na, nb, ok, idx = jax.jit(jax.vmap(pair_match))(
         kps.xy[:-1], desc[:-1], dvalid[:-1],
         kps.xy[1:], desc[1:], dvalid[1:],
     )
-    na, nb, ok = np.asarray(na), np.asarray(nb), np.asarray(ok)
-    return [(na[k], nb[k], ok[k]) for k in range(len(frames) - 1)]
+    na, nb, ok, idx = jax.device_get((na, nb, ok, idx))
+    return [(na[k], nb[k], ok[k], idx[k]) for k in range(len(frames) - 1)]
 
 
 def propose_loop_closures(
@@ -265,30 +334,42 @@ def propose_loop_closures(
     gap: int = 5,
     min_matches: int = 60,
 ) -> List[Tuple[int, int, np.ndarray, np.ndarray, np.ndarray]]:
-    """Descriptor-based loop-closure candidates: match every frame pair
-    at least ``gap`` apart (one MXU matmul each); pairs with enough mutual
-    matches become candidate constraints for `run_vo_matches`."""
-    feats = []
-    for f in frames:
-        kps, desc, dv = brief.detect_and_describe(
-            jnp.asarray(f), config.threshold, config.count, config.max_keypoints
+    """Descriptor-based loop-closure candidates: match every frame pair at
+    least ``gap`` apart.  One batched detect+describe dispatch plus one
+    vmapped match dispatch over ALL candidate pairs (an MXU matmul each);
+    pairs with enough mutual matches become constraints for
+    `run_vo_matches`.  Returned slots are frame-i keypoint slots, as the
+    loop-scale linkage requires."""
+    f = len(frames)
+    cand = [(i, j) for i in range(f) for j in range(i + gap, f)]
+    if not cand:
+        return []
+    stack = jnp.asarray(np.stack(frames))
+    kps, desc, dvalid = brief.detect_and_describe_batch(
+        stack, config.threshold, config.count, config.max_keypoints
+    )
+    ii = np.asarray([c[0] for c in cand])
+    jj = np.asarray([c[1] for c in cand])
+
+    def pair_match(kxy_a, da, va, kxy_b, db, vb):
+        m = match.match.__wrapped__(da, va, db, vb)
+        pa, pb, ok = match.match_points(kxy_a, kxy_b, m)
+        na = twoview.normalize_points(pa.astype(jnp.float32), config.camera)
+        nb = twoview.normalize_points(pb.astype(jnp.float32), config.camera)
+        return na, nb, ok
+
+    na, nb, ok = jax.device_get(
+        jax.jit(jax.vmap(pair_match))(
+            kps.xy[ii], desc[ii], dvalid[ii],
+            kps.xy[jj], desc[jj], dvalid[jj],
         )
-        feats.append((kps, desc, dv))
-    out = []
-    for i in range(len(frames)):
-        for j in range(i + gap, len(frames)):
-            kps_a, da, va = feats[i]
-            kps_b, db, vb = feats[j]
-            m = match.match(da, va, db, vb)
-            pa, pb, ok = match.match_points(kps_a.xy, kps_b.xy, m)
-            if int(np.asarray(ok).sum()) < min_matches:
-                continue
-            na = twoview.normalize_points(jnp.asarray(pa, jnp.float32),
-                                          config.camera)
-            nb = twoview.normalize_points(jnp.asarray(pb, jnp.float32),
-                                          config.camera)
-            out.append((i, j, np.asarray(na), np.asarray(nb), np.asarray(ok)))
-    return out
+    )
+    counts = ok.sum(axis=1)
+    return [
+        (int(ii[c]), int(jj[c]), na[c], nb[c], ok[c])
+        for c in range(len(cand))
+        if counts[c] >= min_matches
+    ]
 
 
 def run_vo_images(
@@ -297,6 +378,7 @@ def run_vo_images(
     *,
     loop_closure_gap: Optional[int] = None,
     metrics: Optional[list] = None,
+    ba_refine: bool = False,
 ) -> np.ndarray:
     """Full pipeline: images -> trajectory (F, 4, 4); with
     ``loop_closure_gap`` set, distant frame pairs are matched and added as
@@ -308,61 +390,69 @@ def run_vo_images(
     )
     return run_vo_matches(
         frontend_matches(frames, config), config, loop_pairs=loops,
-        metrics=metrics,
+        metrics=metrics, ba_refine=ba_refine,
     )
 
 
 def build_tracks(
-    pairs: List[PairEstimate], min_len: int = 3
+    batch: PairBatch, est: PairEstimates, min_len: int = 3
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Link pair-wise inlier correspondences into multi-frame tracks.
 
-    Correspondences are joined through shared frames by (rounded)
-    normalized coordinates — the same keying used for scale chaining.
-    Returns flat observation arrays (obs_cam, obs_lm, obs_uv) for tracks
-    observed in at least ``min_len`` frames.
+    Linking is exact: pair k's inlier slot i observes frame k at keypoint
+    slot i and frame k+1 at keypoint slot idx_b[k, i], so track identity
+    propagates through a (frame, slot) integer table — no coordinate
+    keys.  Returns flat observation arrays (obs_cam, obs_lm, obs_uv) for
+    tracks observed in at least ``min_len`` frames.
     """
-    track_of = {}  # (frame, rounded uv) -> track id
-    obs = []  # (track, frame, uv)
+    p, k_cap = est.inl.shape
+    tid = np.full((p + 1, k_cap), -1, np.int64)  # (frame, slot) -> track
     n_tracks = 0
-    for k, pair in enumerate(pairs):
-        for pa, pb in zip(pair.inlier_pa, pair.inlier_pb):
-            ka = (k, tuple(np.round(pa, 5)))
-            kb = (k + 1, tuple(np.round(pb, 5)))
-            t = track_of.get(ka)
-            if t is None:
-                t = n_tracks
-                n_tracks += 1
-                track_of[ka] = t
-                obs.append((t, k, pa))
-            track_of[kb] = t
-            obs.append((t, k + 1, pb))
+    oc, ol, uv = [], [], []
+    for k in range(p):
+        m = est.inl[k] & (batch.idx_b[k] >= 0)
+        slots = np.nonzero(m)[0]
+        tb = batch.idx_b[k, slots]
+        ids = tid[k, slots]
+        fresh = ids < 0
+        n_new = int(fresh.sum())
+        ids[fresh] = n_tracks + np.arange(n_new)
+        n_tracks += n_new
+        tid[k, slots] = ids
+        # frame-k observation for tracks born here (continued tracks
+        # already recorded frame k as their pair k-1 endpoint)
+        oc.append(np.full(n_new, k))
+        ol.append(ids[fresh])
+        uv.append(batch.pa[k, slots[fresh]])
+        # frame-(k+1) observation for every inlier (mutual-NN matching
+        # makes idx_b injective per pair, so no slot collision)
+        tid[k + 1, tb] = ids
+        oc.append(np.full(len(slots), k + 1))
+        ol.append(ids)
+        uv.append(batch.pb[k, slots])
+    if n_tracks == 0:
+        return (np.zeros(0, np.int32), np.zeros(0, np.int32),
+                np.zeros((0, 2)))
+    obs_cam = np.concatenate(oc).astype(np.int64)
+    obs_lm = np.concatenate(ol).astype(np.int64)
+    obs_uv = np.concatenate(uv, axis=0)
 
-    counts = np.zeros(n_tracks, np.int64)
-    frames_seen = {}
-    kept_obs = []
-    for t, f, uv in obs:
-        if (t, f) in frames_seen:
-            continue
-        frames_seen[(t, f)] = True
-        kept_obs.append((t, f, uv))
-        counts[t] += 1
+    counts = np.bincount(obs_lm, minlength=n_tracks)
     keep = counts >= min_len
     remap = -np.ones(n_tracks, np.int64)
-    remap[keep] = np.arange(keep.sum())
-    oc, ol, uv = [], [], []
-    for t, f, p in kept_obs:
-        if keep[t]:
-            oc.append(f)
-            ol.append(remap[t])
-            uv.append(p)
-    return (np.asarray(oc, np.int32), np.asarray(ol, np.int32),
-            np.asarray(uv, np.float64).reshape(-1, 2))
+    remap[keep] = np.arange(int(keep.sum()))
+    sel = keep[obs_lm]
+    return (
+        obs_cam[sel].astype(np.int32),
+        remap[obs_lm[sel]].astype(np.int32),
+        np.asarray(obs_uv[sel], np.float64).reshape(-1, 2),
+    )
 
 
 def refine_with_ba(
     poses: np.ndarray,
-    pairs: List[PairEstimate],
+    batch: PairBatch,
+    est: PairEstimates,
     iterations: int = 8,
     cg_iters: int = 30,
     mesh=None,
@@ -376,7 +466,7 @@ def refine_with_ba(
     (parallel.ba_sharded) — the full-distributed-SLAM configuration."""
     from . import ba as ba_lib
 
-    obs_cam, obs_lm, obs_uv = build_tracks(pairs)
+    obs_cam, obs_lm, obs_uv = build_tracks(batch, est)
     if obs_lm.size == 0:
         return poses
     n_lm = int(obs_lm.max()) + 1

@@ -5,7 +5,7 @@ import os
 import numpy as np
 import pytest
 
-from feature_detector_fast_tpu.io import tum
+from feature_detector_fast_tpu.io import kitti, tum
 from feature_detector_fast_tpu.utils import checkpoint, tracing
 
 
@@ -36,6 +36,49 @@ def test_tum_load_sequence(tmp_path):
     np.testing.assert_allclose(poses[:, 0, 3], np.arange(5) * 0.5)
     np.testing.assert_allclose(poses[0, :3, :3], np.eye(3), atol=1e-12)
     assert all(os.path.exists(p) for p in paths)
+
+
+def write_kitti_fixture(root, seq="04", n=4):
+    from PIL import Image
+
+    seq_dir = os.path.join(root, "sequences", seq)
+    img_dir = os.path.join(seq_dir, "image_0")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(os.path.join(root, "poses"), exist_ok=True)
+    for i in range(n):
+        Image.fromarray(np.full((24, 32), i * 10, np.uint8)).save(
+            os.path.join(img_dir, f"{i:06d}.png")
+        )
+    with open(os.path.join(seq_dir, "calib.txt"), "w") as f:
+        f.write("P0: 718.856 0 607.1928 0 0 718.856 185.2157 0 0 0 1 0\n")
+        f.write("P1: 718.856 0 607.1928 -386.1448 0 718.856 185.2157 0 "
+                "0 0 1 0\n")
+    with open(os.path.join(root, "poses", f"{seq}.txt"), "w") as f:
+        for i in range(n):
+            # forward motion: translation (0, 0, i)
+            f.write("1 0 0 0 0 1 0 0 0 0 1 %d\n" % i)
+    return seq_dir
+
+
+def test_kitti_load_sequence(tmp_path):
+    seq_dir = write_kitti_fixture(str(tmp_path))
+    paths, poses, cam = kitti.load_sequence(seq_dir)
+    assert len(paths) == 4 and all(os.path.exists(p) for p in paths)
+    assert poses.shape == (4, 4, 4)
+    np.testing.assert_allclose(poses[:, 2, 3], np.arange(4))
+    np.testing.assert_allclose(poses[:, 3], np.tile([0, 0, 0, 1], (4, 1)))
+    assert (cam.fx, cam.fy) == (718.856, 718.856)
+    np.testing.assert_allclose((cam.cx, cam.cy), (607.1928, 185.2157))
+
+
+def test_kitti_max_frames_and_missing_poses(tmp_path):
+    seq_dir = write_kitti_fixture(str(tmp_path), n=5)
+    paths, poses, cam = kitti.load_sequence(seq_dir, max_frames=3)
+    assert len(paths) == 3 and poses.shape[0] == 3
+    # eval-style sequence: no poses file anywhere
+    os.remove(os.path.join(str(tmp_path), "poses", "04.txt"))
+    paths, poses, cam = kitti.load_sequence(seq_dir)
+    assert poses is None and len(paths) == 5
 
 
 def test_quaternion_to_matrix_known():

@@ -29,27 +29,34 @@ def make_trajectory(n_frames, step=0.4, turn=0.06):
     return np.stack(poses)
 
 
-def synth_pair_data(rng, gt_poses, n_pts=4000, noise=0.0):
-    """Per-consecutive-pair normalized correspondences from a shared
-    landmark cloud.  Shared-frame observations reuse identical coordinate
-    arrays so monocular scale chaining can link pairs."""
-    lm = np.stack([
+def make_cloud(rng, n_pts):
+    return np.stack([
         rng.uniform(-6, 10, n_pts), rng.uniform(-4, 4, n_pts),
         rng.uniform(-2, 22, n_pts)
     ], axis=-1)
 
-    # per-frame projections + visibility
-    projs = []
-    for T in gt_poses:
-        Xc = (np.linalg.inv(T) @ np.concatenate(
-            [lm, np.ones((n_pts, 1))], axis=1).T).T[:, :3]
-        vis = Xc[:, 2] > 0.5
-        p = Xc[:, :2] / np.maximum(Xc[:, 2:3], 1e-9)
-        vis &= (np.abs(p[:, 0]) < 0.7) & (np.abs(p[:, 1]) < 0.55)
-        if noise:
-            p = p + rng.normal(0, noise, p.shape)
-        projs.append((p, vis))
 
+def project(lm, T, noise=0.0, rng=None):
+    """Normalized projection + visibility of landmark cloud ``lm`` from
+    world_T_cam ``T``.  Slot i of the result is landmark i — the identity
+    slot mapping slam's index-based chaining expects of synthetic data."""
+    n_pts = lm.shape[0]
+    Xc = (np.linalg.inv(T) @ np.concatenate(
+        [lm, np.ones((n_pts, 1))], axis=1).T).T[:, :3]
+    vis = Xc[:, 2] > 0.5
+    p = Xc[:, :2] / np.maximum(Xc[:, 2:3], 1e-9)
+    vis &= (np.abs(p[:, 0]) < 0.7) & (np.abs(p[:, 1]) < 0.55)
+    if noise:
+        p = p + rng.normal(0, noise, p.shape)
+    return p, vis
+
+
+def synth_pair_data(rng, gt_poses, n_pts=4000, noise=0.0):
+    """Per-consecutive-pair normalized correspondences from a shared
+    landmark cloud; slot == landmark id in every frame, so scale chaining
+    links pairs by index."""
+    lm = make_cloud(rng, n_pts)
+    projs = [project(lm, T, noise=noise, rng=rng) for T in gt_poses]
     pair_data = []
     for k in range(len(gt_poses) - 1):
         pa, va = projs[k]
@@ -122,31 +129,21 @@ def test_vo_loop_closure_reduces_drift(rng):
         poses.append(poses[-1] @ np.asarray(lie.se3_exp(jnp.asarray(xi))))
     gt = np.stack(poses)
 
-    pair_data = synth_pair_data(rng, gt, n_pts=6000, noise=1.5e-3)
+    # ONE landmark cloud for odometry and loop pair: slot == landmark id,
+    # so the loop pair's scale links against pair 0's depths by exact
+    # slot index even though the odometry observations are noisy.
+    lm = make_cloud(rng, 6000)
+    projs = [project(lm, T, noise=1.5e-3, rng=rng) for T in gt]
+    pair_data = [
+        (projs[k][0], projs[k + 1][0], projs[k][1] & projs[k + 1][1])
+        for k in range(n - 1)
+    ]
 
-    # Loop closure between frames 0 and n-1 (revisited view).  The scale
-    # link needs shared coordinates with pair 0's frame-0 observations, so
-    # pair 0 and the loop pair are rebuilt from one clean projection set.
-    rng3 = np.random.default_rng(0x5EED)
-    prj = synth_pair_data(rng3, gt, n_pts=6000, noise=0.0)
-    rng4 = np.random.default_rng(0x5EED)
-    lm_pts = np.stack([
-        rng4.uniform(-6, 10, 6000), rng4.uniform(-4, 4, 6000),
-        rng4.uniform(-2, 22, 6000)
-    ], axis=-1)
-    def proj(T):
-        Xc = (np.linalg.inv(T) @ np.concatenate(
-            [lm_pts, np.ones((6000, 1))], axis=1).T).T[:, :3]
-        vis = Xc[:, 2] > 0.5
-        p = Xc[:, :2] / np.maximum(Xc[:, 2:3], 1e-9)
-        vis &= (np.abs(p[:, 0]) < 0.7) & (np.abs(p[:, 1]) < 0.55)
-        return p, vis
-    p0, v0 = proj(gt[0])
-    pN, vN = proj(gt[n - 1])
+    # Loop closure between frames 0 and n-1 (revisited view), clean
+    # projections of the same cloud.
+    p0, v0 = project(lm, gt[0])
+    pN, vN = project(lm, gt[n - 1])
     loop = [(0, n - 1, p0, pN, v0 & vN)]
-
-    # use clean pair 0 so loop-scale linking has exact shared coords
-    pair_data[0] = prj[0]
 
     est_no = slam.run_vo_matches(list(pair_data), slam.VOConfig())
     mets = []

@@ -1,16 +1,23 @@
-"""End-to-end SLAM demo: synthetic sequence -> trajectory -> ATE.
+"""End-to-end SLAM demo: sequence -> trajectory -> ATE.
 
-Generates a ground-truth trajectory and landmark cloud, runs the geometric
-VO pipeline (essential RANSAC, monocular scale chaining, pose graph with a
-loop closure), evaluates scale-aligned ATE, and optionally refines with
-sliding-window BA.  Prints one JSON record per stage.
+Three modes (BASELINE.json config[3], SURVEY.md §7 step 5):
 
-Usage: python tools/run_slam_demo.py [n_frames]
+  * default — synthetic landmark correspondences: geometric VO with a
+    loop closure on a ground-truth loop trajectory,
+  * ``--render`` — deterministically rendered 3-D image sequence through
+    the FULL pipeline (pixels -> FAST -> BRIEF -> match -> pose graph),
+  * ``--sequence <path>`` — a real monocular dataset directory, TUM
+    (rgb.txt/groundtruth.txt) or KITTI odometry (image_0/calib.txt),
+    autodetected; prints scale-aligned ATE when ground truth exists.
+
+Prints one JSON record per stage.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
+import os
 import sys
 import time
 
@@ -19,14 +26,11 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def main() -> int:
+def demo_synthetic(n: int) -> int:
     import jax.numpy as jnp
 
     from feature_detector_fast_tpu.models import lie, slam
-    from feature_detector_fast_tpu.utils import cache
 
-    cache.enable()
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     rng = np.random.default_rng(7)
 
     # ground-truth loop trajectory
@@ -36,7 +40,8 @@ def main() -> int:
         poses.append(poses[-1] @ np.asarray(lie.se3_exp(jnp.asarray(xi))))
     gt = np.stack(poses)
 
-    # synthetic landmark observations
+    # synthetic landmark observations (slot == landmark id, the identity
+    # index mapping slam's chaining expects of synthetic data)
     n_pts = 5000
     lm = np.stack([
         rng.uniform(-6, 10, n_pts), rng.uniform(-4, 4, n_pts),
@@ -86,6 +91,95 @@ def main() -> int:
                       "ate_odometry": round(ate, 5),
                       "ate_with_loop_closure": round(ate_lc, 5)}))
     return 0
+
+
+def demo_render(n: int) -> int:
+    from feature_detector_fast_tpu.io import render
+    from feature_detector_fast_tpu.models import slam
+
+    cfg = render.RenderConfig()
+    gt = render.demo_trajectory(n)
+    t0 = time.perf_counter()
+    frames = render.render_sequence(gt, cfg)
+    print(json.dumps({"stage": "render", "frames": n,
+                      "size": [cfg.height, cfg.width],
+                      "sec": round(time.perf_counter() - t0, 2)}))
+    vocfg = slam.VOConfig(max_keypoints=512, camera=cfg.camera())
+    t0 = time.perf_counter()
+    mets = []
+    est = slam.run_vo_images(frames, vocfg, metrics=mets)
+    ate = slam.evaluate_ate(est, gt)
+    traj = np.linalg.norm(np.diff(gt[:, :3, 3], axis=0), axis=1).sum()
+    print(json.dumps({
+        "stage": "vo_images", "ate": round(ate, 5),
+        "trajectory_len": round(traj, 3),
+        "ate_pct_of_trajectory": round(100 * ate / traj, 2),
+        "mean_pair_inliers": int(np.mean([m["inliers"] for m in mets])),
+        "sec": round(time.perf_counter() - t0, 2),
+    }))
+    return 0
+
+
+def demo_sequence(path: str, max_frames: int) -> int:
+    from feature_detector_fast_tpu.models import slam, twoview
+    from feature_detector_fast_tpu.utils import image as imglib
+
+    gt = None
+    if os.path.exists(os.path.join(path, "calib.txt")):
+        from feature_detector_fast_tpu.io import kitti
+
+        paths, gt, cam = kitti.load_sequence(path, max_frames=max_frames)
+        fmt = "kitti"
+    elif os.path.exists(os.path.join(path, "rgb.txt")):
+        from feature_detector_fast_tpu.io import tum
+
+        paths, gt = tum.load_sequence(path, max_frames=max_frames)
+        # TUM freiburg default intrinsics; override in code for other rigs
+        cam = twoview.Camera(525.0, 525.0, 319.5, 239.5)
+        fmt = "tum"
+    else:
+        print(json.dumps({"error": "unrecognized sequence layout",
+                          "path": path}))
+        return 1
+
+    frames = [imglib.load_luma8(p) for p in paths]
+    print(json.dumps({"stage": "load", "format": fmt,
+                      "frames": len(frames),
+                      "size": list(frames[0].shape)}))
+    vocfg = slam.VOConfig(max_keypoints=1024, camera=cam)
+    t0 = time.perf_counter()
+    mets = []
+    est = slam.run_vo_images(frames, vocfg, metrics=mets)
+    rec = {
+        "stage": "vo_images",
+        "mean_pair_inliers": int(np.mean([m["inliers"] for m in mets])),
+        "sec": round(time.perf_counter() - t0, 2),
+    }
+    if gt is not None:
+        rec["ate"] = round(slam.evaluate_ate(est, gt[: len(est)]), 5)
+    print(json.dumps(rec))
+    return 0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("n_frames", nargs="?", type=int, default=10)
+    ap.add_argument("--render", action="store_true",
+                    help="rendered 3-D image sequence through the full "
+                         "pipeline")
+    ap.add_argument("--sequence", metavar="PATH",
+                    help="TUM or KITTI sequence directory")
+    ap.add_argument("--max-frames", type=int, default=30)
+    args = ap.parse_args()
+
+    from feature_detector_fast_tpu.utils import cache
+
+    cache.enable()
+    if args.sequence:
+        return demo_sequence(args.sequence, args.max_frames)
+    if args.render:
+        return demo_render(args.n_frames)
+    return demo_synthetic(args.n_frames)
 
 
 if __name__ == "__main__":
