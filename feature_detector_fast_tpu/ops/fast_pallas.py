@@ -383,13 +383,20 @@ def _window_prefilter(img_prev, img_cur, img_next, *, threshold: int,
 
 def _tile_keep(img_prev, img_cur, img_next, *, mode: NonmaxMode,
                threshold: int, count: int, height: int, width: int,
-               tile_h: int):
+               tile_h: int, i0=0):
     """Shared kernel body: prefilter + (on candidates) arc/score/nonmax.
     Returns (wp, tile_has_candidates, body) where body() -> (keep, score)
     for the tile's central rows.  OFF and SUM_ABSOLUTE route through the
     SWAR pixel-pair paths (two pixels per i32 lane); MAX_THRESHOLD
-    through the windowed-score path."""
-    i = pl.program_id(0)
+    through the windowed-score path.
+
+    ``i0`` is the GLOBAL tile index of local tile 0 (0 for whole-image
+    grids; shard_offset for spatially row-sharded invocations — see
+    detect_dense_tiles).  Every border quirk (interior mask, y==3 /
+    y==H-4 nonmax drops) is computed from the global row i*tile_h, so a
+    row-shard produces bit-identical outputs to its slice of the
+    whole-image kernel."""
+    i = pl.program_id(0) + i0
     if mode is not NonmaxMode.MAX_THRESHOLD:
         halo_rows = 0 if mode is NonmaxMode.OFF else 1
         rw, cpw, hb, cw, tile_has_candidates = _swar_window_prefilter(
@@ -429,10 +436,11 @@ def _tile_keep(img_prev, img_cur, img_next, *, mode: NonmaxMode,
 
 
 def _kernel(img_prev, img_cur, img_next, mask_out, score_out=None, *, mode: NonmaxMode,
-            threshold: int, count: int, height: int, width: int, tile_h: int):
+            threshold: int, count: int, height: int, width: int, tile_h: int,
+            i0=0):
     wp, tile_has_candidates, tile_body = _tile_keep(
         img_prev, img_cur, img_next, mode=mode, threshold=int(threshold),
-        count=count, height=height, width=width, tile_h=tile_h,
+        count=count, height=height, width=width, tile_h=tile_h, i0=i0,
     )
 
     @pl.when(jnp.logical_not(tile_has_candidates))
@@ -447,6 +455,17 @@ def _kernel(img_prev, img_cur, img_next, mask_out, score_out=None, *, mode: Nonm
         mask_out[:, :] = keep.astype(jnp.uint16)
         if mode is not NonmaxMode.OFF:
             score_out[:, :] = s.astype(jnp.uint16)
+
+
+def _kernel_tiles(i0_ref, img_prev, img_cur, img_next, mask_out,
+                  score_out=None, *, mode: NonmaxMode, threshold: int,
+                  count: int, height: int, width: int, tile_h: int):
+    """Row-shard kernel: like _kernel but the global tile index of local
+    tile 0 arrives as an SMEM scalar (it is per-shard DATA, so one XLA
+    program serves every shard of a shard_map)."""
+    _kernel(img_prev, img_cur, img_next, mask_out, score_out, mode=mode,
+            threshold=threshold, count=count, height=height, width=width,
+            tile_h=tile_h, i0=i0_ref[0, 0])
 
 
 def _tile_keypoints(rw, center, *, i, rows, row0,
@@ -583,6 +602,68 @@ def detect_dense_pallas(
     mask, score = detect_dense_padded(image, threshold, count, nonmax,
                                       interpret)
     return mask[:h, :w].astype(bool), score[:h, :w]
+
+
+def detect_dense_tiles(
+    ext_img: jax.Array, tile0: jax.Array, threshold: int, count: int,
+    nonmax: NonmaxMode, *, height: int, width: int, interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused detection over one ROW SHARD of a spatially-sharded image
+    (parallel/spatial.py).
+
+    ``ext_img``: (rows_local + 2*TILE_H, wp) u8 — the shard's rows
+    bracketed by its neighbors' adjacent TILE_H-row halo tiles (exchanged
+    with ppermute).  ``tile0``: traced global tile index of the shard's
+    first local tile.  ``height``/``width``: the GLOBAL unpadded image
+    size — all border quirks are evaluated in global coordinates, so each
+    shard's output block is bit-identical to the corresponding slice of
+    `detect_dense_padded` of the whole image.  At the global top/bottom
+    the wrapped halo tile holds arbitrary pixels; every output they can
+    influence is non-interior (gy < 3 or gy >= height-3) and therefore
+    masked, exactly like the clamped duplicate blocks of the unsharded
+    grid.  Returns (mask u16, score u16) of shape (rows_local, wp)."""
+    nonmax = NonmaxMode(nonmax)
+    threshold = _check_threshold(threshold)
+    tile_h = TILE_H
+    rows_ext, wp = ext_img.shape
+    rows_local = rows_ext - 2 * tile_h
+    assert rows_local % tile_h == 0 and rows_local > 0, rows_ext
+    assert wp % LANES == 0, wp
+    n_tiles = rows_local // tile_h
+
+    kernel = functools.partial(
+        _kernel_tiles,
+        mode=nonmax,
+        threshold=int(threshold),
+        count=int(count),
+        height=int(height),
+        width=int(width),
+        tile_h=tile_h,
+    )
+    n_outs = 1 if nonmax is NonmaxMode.OFF else 2
+    i0 = jnp.asarray(tile0, jnp.int32).reshape(1, 1)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_h, wp), lambda i: (i, 0)),
+            pl.BlockSpec((tile_h, wp), lambda i: (i + 1, 0)),
+            pl.BlockSpec((tile_h, wp), lambda i: (i + 2, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_h, wp), lambda i: (i, 0))
+            for _ in range(n_outs)
+        ],
+        out_shape=[jax.ShapeDtypeStruct((rows_local, wp), jnp.uint16)] * n_outs,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=bool(interpret),
+    )(i0, ext_img, ext_img, ext_img)
+
+    if nonmax is NonmaxMode.OFF:
+        return outs[0], jnp.zeros((rows_local, wp), jnp.uint16)
+    return outs[0], outs[1]
 
 
 # ---------------------------------------------------------------------------

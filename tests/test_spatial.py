@@ -1,0 +1,56 @@
+"""Spatial (row-tile) sharded detection vs the single-device detector.
+
+Bit-exactness of parallel.spatial.detect_rows_sharded on the 8-device
+CPU mesh: halo exchange + global-coordinate border quirks must reproduce
+`ops.fast.detect_dense` exactly for every mode (SURVEY.md §5.7)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from feature_detector_fast_tpu.config import NonmaxMode
+from feature_detector_fast_tpu.ops import fast
+from feature_detector_fast_tpu.parallel import mesh as meshlib, spatial
+
+
+@pytest.mark.parametrize(
+    "mode", [NonmaxMode.OFF, NonmaxMode.MAX_THRESHOLD, NonmaxMode.SUM_ABSOLUTE]
+)
+def test_sharded_matches_dense_reference_image(reference_image, mode):
+    img = jnp.asarray(reference_image)
+    mesh = meshlib.make_mesh()
+    mask_s, score_s = spatial.detect_rows_sharded(
+        img, 16, 9, mode, mesh=mesh, interpret=True
+    )
+    mask_d, score_d = fast.detect_dense(img, 16, 9, mode)
+    np.testing.assert_array_equal(np.asarray(mask_s), np.asarray(mask_d))
+    np.testing.assert_array_equal(np.asarray(score_s), np.asarray(score_d))
+
+
+@pytest.mark.parametrize("count", [9, 12, 16])
+def test_sharded_matches_dense_random(rng, count):
+    """Taller-than-one-tile-per-shard random image (each shard gets 2
+    tiles), exercising internal halo exchange on every seam."""
+    img = jnp.asarray(rng.integers(0, 256, (1024, 260), np.uint8))
+    mesh = meshlib.make_mesh()
+    mask_s, score_s = spatial.detect_rows_sharded(
+        img, 12, count, NonmaxMode.SUM_ABSOLUTE, mesh=mesh, interpret=True
+    )
+    mask_d, score_d = fast.detect_dense(img, 12, count,
+                                        NonmaxMode.SUM_ABSOLUTE)
+    np.testing.assert_array_equal(np.asarray(mask_s), np.asarray(mask_d))
+    np.testing.assert_array_equal(np.asarray(score_s), np.asarray(score_d))
+
+
+def test_sharded_garbage_halo_is_masked(rng):
+    """Global top/bottom shards receive wrapped (meaningless) halo slabs;
+    the result must still match — i.e. everything such rows can influence
+    is masked as non-interior."""
+    # image exactly n*TILE_H tall: no padding rows isolating the wrap
+    img = jnp.asarray(rng.integers(0, 256, (512, 131), np.uint8))
+    mesh = meshlib.make_mesh()
+    mask_s, _ = spatial.detect_rows_sharded(
+        img, 16, 9, NonmaxMode.OFF, mesh=mesh, interpret=True
+    )
+    mask_d, _ = fast.detect_dense(img, 16, 9, NonmaxMode.OFF)
+    np.testing.assert_array_equal(np.asarray(mask_s), np.asarray(mask_d))
