@@ -114,6 +114,11 @@ def _packed_any_window_all(m: jax.Array, count: int) -> jax.Array:
 #: Per-field broadcast factor: v * _FF puts ``v`` in both 16-bit fields.
 _FF = 0x00010001
 
+#: Element dtype of the MaxThreshold score pyramids (read at trace time).
+#: f32 measured ~9% faster than i32 on v5e with identical (exact) results;
+#: see the dtype note in _tile_keypoints.
+_MT_PYRAMID_DTYPE = jnp.float32
+
 
 def _bit9_to_k(v: jax.Array, k: int) -> jax.Array:
     """Move bit 9 of each 16-bit field of ``v`` to bit ``k`` of that field,
@@ -492,11 +497,27 @@ def _tile_keypoints(rw, center, *, i, rows, row0,
     min/max, which 16-bit-field SWAR cannot express."""
     wp = center.shape[1]
 
+    # Pyramid dtype: FLOAT min/max measured ~9% faster end-to-end than
+    # i32 (int min/max lowers to compare+select on v5e; i16 doesn't
+    # compile; bf16 runs at f32 rate, no 2x packing — PERFORMANCE.md dead
+    # ends).  Diffs are integers in [-255, 255], exactly representable in
+    # f32 (and bf16), and min/max of exact values is exact, so the dtype
+    # is a pure throughput knob — bit-exactness is unchanged
+    # (tools/tpu_acceptance.py).  Running the pyramids on raw taps via
+    # min_W(c-p) = c - max_W(p) to skip the subtracts measured ~22%
+    # SLOWER (the fresh diff planes fuse/lay out better than long-lived
+    # window slices); also a recorded dead end.
     diffs = []
     for dx, dy in CIRCLE:
-        diffs.append(center - rw.tap(dx, dy, rows, row0))
+        d = center - rw.tap(dx, dy, rows, row0)
+        if _MT_PYRAMID_DTYPE is not jnp.int32:
+            d = d.astype(_MT_PYRAMID_DTYPE)
+        diffs.append(d)
     eh = windows.ring_max_of_window_min(diffs, count, jnp.minimum, jnp.maximum)
     el = windows.ring_min_of_window_max(diffs, count, jnp.minimum, jnp.maximum)
+    if _MT_PYRAMID_DTYPE is not jnp.int32:
+        eh = eh.astype(jnp.int32)
+        el = el.astype(jnp.int32)
     arc_hit = (eh > t) | (el < -t)
 
     # Interior mask: global x in [3, W-4], y in [3, H-4].
