@@ -35,7 +35,8 @@ def read_calib(path: str, camera_id: int = 0) -> twoview.Camera:
     with open(path) as f:
         for line in f:
             if line.startswith(key):
-                p = np.fromstring(line[len(key):], sep=" ").reshape(3, 4)
+                p = np.array(line[len(key):].split(),
+                             dtype=float).reshape(3, 4)
                 return twoview.Camera(
                     float(p[0, 0]), float(p[1, 1]),
                     float(p[0, 2]), float(p[1, 2]),

@@ -197,6 +197,10 @@ def run_vo_matches(
     pose-graph optimization.  ``metrics``, if given, is appended with one
     dict per pair (SURVEY.md §5.5 structured per-frame metrics).
     """
+    if len(pair_data) == 0:
+        # 0/1-frame sequence: no pairs to estimate, trajectory is frame 0
+        # at the identity.
+        return np.eye(4)[None]
     batch = _as_pair_batch(pair_data)
     est = estimate_pairs(batch, config)
     if metrics is not None:
@@ -236,21 +240,28 @@ def run_vo_matches(
     if loop_pairs:
         lbatch = _as_pair_batch([(pa, pb, v) for (_, _, pa, pb, v) in loop_pairs])
         if lbatch.pa.shape[1] != batch.pa.shape[1]:
-            # pad the narrower batch's slot axis so slot indices align
-            k_cap = max(lbatch.pa.shape[1], batch.pa.shape[1])
-
-            def pad(b: PairBatch) -> PairBatch:
-                extra = k_cap - b.pa.shape[1]
-                if extra == 0:
-                    return b
-                return PairBatch(
-                    np.pad(b.pa, ((0, 0), (0, extra), (0, 0))),
-                    np.pad(b.pb, ((0, 0), (0, extra), (0, 0))),
-                    np.pad(b.valid, ((0, 0), (0, extra))),
-                    np.pad(b.idx_b, ((0, 0), (0, extra)), constant_values=-1),
+            # `est` was computed at batch's slot capacity, so batch must
+            # never be re-padded here — align lbatch to it instead.  Loop
+            # slots are frame-i keypoint slots; slots beyond the main
+            # batch's capacity cannot link against est's depths anyway, so
+            # a wider loop batch is truncated.
+            k_cap = batch.pa.shape[1]
+            extra = k_cap - lbatch.pa.shape[1]
+            if extra > 0:
+                lbatch = PairBatch(
+                    np.pad(lbatch.pa, ((0, 0), (0, extra), (0, 0))),
+                    np.pad(lbatch.pb, ((0, 0), (0, extra), (0, 0))),
+                    np.pad(lbatch.valid, ((0, 0), (0, extra))),
+                    np.pad(lbatch.idx_b, ((0, 0), (0, extra)),
+                           constant_values=-1),
                 )
-
-            lbatch, batch = pad(lbatch), pad(batch)
+            else:
+                lbatch = PairBatch(
+                    lbatch.pa[:, :k_cap],
+                    lbatch.pb[:, :k_cap],
+                    lbatch.valid[:, :k_cap],
+                    lbatch.idx_b[:, :k_cap],
+                )
         lest = estimate_pairs(lbatch, config, seed_offset=1)
         for li, (i, j, _, _, _) in enumerate(loop_pairs):
             n_inl = int(lest.inl[li].sum())
@@ -333,13 +344,16 @@ def propose_loop_closures(
     config: VOConfig,
     gap: int = 5,
     min_matches: int = 60,
+    chunk: int = 64,
 ) -> List[Tuple[int, int, np.ndarray, np.ndarray, np.ndarray]]:
     """Descriptor-based loop-closure candidates: match every frame pair at
-    least ``gap`` apart.  One batched detect+describe dispatch plus one
-    vmapped match dispatch over ALL candidate pairs (an MXU matmul each);
-    pairs with enough mutual matches become constraints for
-    `run_vo_matches`.  Returned slots are frame-i keypoint slots, as the
-    loop-scale linkage requires."""
+    least ``gap`` apart.  One batched detect+describe dispatch, then vmapped
+    match dispatches over the candidate pairs in fixed-size chunks of
+    ``chunk`` (the (C, K, K) Hamming-distance intermediates grow
+    quadratically in K — one flat dispatch over all O(F^2) candidates is
+    multi-GB at F=60, K=1024); pairs with enough mutual matches become
+    constraints for `run_vo_matches`.  Returned slots are frame-i keypoint
+    slots, as the loop-scale linkage requires."""
     f = len(frames)
     cand = [(i, j) for i in range(f) for j in range(i + gap, f)]
     if not cand:
@@ -358,12 +372,28 @@ def propose_loop_closures(
         nb = twoview.normalize_points(pb.astype(jnp.float32), config.camera)
         return na, nb, ok
 
-    na, nb, ok = jax.device_get(
-        jax.jit(jax.vmap(pair_match))(
-            kps.xy[ii], desc[ii], dvalid[ii],
-            kps.xy[jj], desc[jj], dvalid[jj],
-        )
-    )
+    matcher = jax.jit(jax.vmap(pair_match))
+    # Pad the last chunk to the full chunk size so every dispatch shares
+    # one compiled program (a new chunk length is a new XLA program).
+    n = len(cand)
+    pad_to = min(chunk, n) if n <= chunk else chunk
+    na_parts, nb_parts, ok_parts = [], [], []
+    for s in range(0, n, chunk):
+        sel = np.arange(s, min(s + chunk, n))
+        if len(sel) < pad_to:
+            sel = np.concatenate(
+                [sel, np.full(pad_to - len(sel), sel[-1])])
+        cna, cnb, cok = jax.device_get(matcher(
+            kps.xy[ii[sel]], desc[ii[sel]], dvalid[ii[sel]],
+            kps.xy[jj[sel]], desc[jj[sel]], dvalid[jj[sel]],
+        ))
+        take = min(s + chunk, n) - s
+        na_parts.append(cna[:take])
+        nb_parts.append(cnb[:take])
+        ok_parts.append(cok[:take])
+    na = np.concatenate(na_parts)
+    nb = np.concatenate(nb_parts)
+    ok = np.concatenate(ok_parts)
     counts = ok.sum(axis=1)
     return [
         (int(ii[c]), int(jj[c]), na[c], nb[c], ok[c])

@@ -100,10 +100,10 @@ def _heartbeat_collective() -> bool:
     (global axis over all processes); True iff the global device count
     comes back."""
     import jax
-    import jax.numpy as jnp
 
-    devs = jax.local_devices()
-    x = jax.device_put_replicated(jnp.ones((), jnp.int32), devs)
+    # pmap shards a host array over local devices itself (one element per
+    # device) — no deprecated device_put_replicated needed.
+    x = np.ones((jax.local_device_count(),), np.int32)
     total = jax.pmap(lambda v: jax.lax.psum(v, "i"), axis_name="i")(x)
     return int(np.asarray(total)[0]) == jax.device_count()
 

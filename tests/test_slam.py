@@ -184,3 +184,35 @@ def test_vo_ba_refinement_distributed(rng):
     a1 = slam.evaluate_ate(est1, gt)
     a8 = slam.evaluate_ate(est8, gt)
     assert abs(a1 - a8) < 0.25 * max(a1, a8) + 1e-9, (a1, a8)
+
+
+def test_vo_empty_pair_data():
+    """0/1-frame sequences return the identity trajectory instead of
+    crashing on an empty batch (ADVICE r2)."""
+    est = slam.run_vo_matches([], slam.VOConfig())
+    assert est.shape == (1, 4, 4)
+    np.testing.assert_allclose(est[0], np.eye(4))
+
+
+def test_vo_loop_pair_wider_than_main_batch(rng):
+    """A loop pair with MORE correspondence slots than the consecutive
+    pairs must not widen the main batch after estimation (ADVICE r2: est
+    kept the old K and inlier masks stopped broadcasting).  Wide-slot
+    loop input is truncated — extra slots can't link against est anyway."""
+    gt = make_trajectory(5)
+    pair_data = synth_pair_data(rng, gt, n_pts=1500, noise=5e-4)
+    # loop pair observed with a wider slot capacity (extra padded slots)
+    p0, v0 = project(make_cloud(rng, 1500), gt[0])
+    pN, vN = project(make_cloud(rng, 1500), gt[-1])
+    wide = np.zeros((2500, 2))
+    wide_b = np.zeros((2500, 2))
+    wide_v = np.zeros(2500, bool)
+    wide[:1500], wide_b[:1500], wide_v[:1500] = p0, pN, v0 & vN
+    mets = []
+    est = slam.run_vo_matches(
+        list(pair_data), slam.VOConfig(),
+        loop_pairs=[(0, len(gt) - 1, wide, wide_b, wide_v)],
+        metrics=mets, ba_refine=True,
+    )
+    assert est.shape == (len(gt), 4, 4)
+    assert np.isfinite(est).all()
