@@ -729,10 +729,10 @@ def _pack_weights(wp: int):
 
 def _kernel_words(img_prev, img_cur, img_next, wmat, words_out, *,
                   mode: NonmaxMode, threshold: int, count: int, height: int,
-                  width: int, tile_h: int):
+                  width: int, tile_h: int, i0=0):
     _, tile_has_candidates, tile_body = _tile_keep(
         img_prev, img_cur, img_next, mode=mode, threshold=int(threshold),
-        count=count, height=height, width=width, tile_h=tile_h,
+        count=count, height=height, width=width, tile_h=tile_h, i0=i0,
     )
 
     @pl.when(jnp.logical_not(tile_has_candidates))
@@ -800,4 +800,69 @@ def detect_words_padded(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=bool(interpret),
     )(img, img, img, jnp.asarray(_pack_weights(wp), jnp.bfloat16))
+    return words
+
+
+def _kernel_words_tiles(i0_ref, img_prev, img_cur, img_next, wmat,
+                        words_out, *, mode: NonmaxMode, threshold: int,
+                        count: int, height: int, width: int, tile_h: int):
+    """Row-shard packed-words kernel: _kernel_words with the global tile
+    index of local tile 0 arriving as an SMEM scalar (per-shard DATA, so
+    one XLA program serves every shard of a shard_map)."""
+    _kernel_words(img_prev, img_cur, img_next, wmat, words_out, mode=mode,
+                  threshold=threshold, count=count, height=height,
+                  width=width, tile_h=tile_h, i0=i0_ref[0, 0])
+
+
+def detect_words_tiles(
+    ext_img: jax.Array, tile0: jax.Array, threshold: int, count: int,
+    nonmax: NonmaxMode, *, height: int, width: int, interpret: bool = False,
+) -> jax.Array:
+    """Packed-words detection over one ROW SHARD of a spatially-sharded
+    image (parallel/spatial.py): `detect_words_padded`'s emission with
+    `detect_dense_tiles`' halo/global-coordinate contract.
+
+    ``ext_img``: (rows_local + 2*TILE_H, wp) u8 shard rows bracketed by the
+    neighbors' halo tiles; ``tile0``: traced global tile index of the
+    shard's first local tile.  Returns (rows_local, _WORD_LANES) i32 packed
+    keypoint words, bit-identical to the corresponding row block of
+    `detect_words_padded` of the whole image (border quirks evaluated in
+    GLOBAL coordinates via the SMEM offset)."""
+    nonmax = NonmaxMode(nonmax)
+    threshold = _check_threshold(threshold)
+    tile_h = TILE_H
+    rows_ext, wp = ext_img.shape
+    rows_local = rows_ext - 2 * tile_h
+    assert rows_local % tile_h == 0 and rows_local > 0, rows_ext
+    assert wp % LANES == 0, wp
+    assert wp // 32 <= _WORD_LANES, "image too wide for the words kernel"
+    n_tiles = rows_local // tile_h
+
+    kernel = functools.partial(
+        _kernel_words_tiles,
+        mode=nonmax,
+        threshold=int(threshold),
+        count=int(count),
+        height=int(height),
+        width=int(width),
+        tile_h=tile_h,
+    )
+    i0 = jnp.asarray(tile0, jnp.int32).reshape(1, 1)
+    words = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_h, wp), lambda i: (i, 0)),
+            pl.BlockSpec((tile_h, wp), lambda i: (i + 1, 0)),
+            pl.BlockSpec((tile_h, wp), lambda i: (i + 2, 0)),
+            pl.BlockSpec((wp, 4 * _WORD_LANES), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile_h, _WORD_LANES), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows_local, _WORD_LANES), jnp.int32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=bool(interpret),
+    )(i0, ext_img, ext_img, ext_img,
+      jnp.asarray(_pack_weights(wp), jnp.bfloat16))
     return words

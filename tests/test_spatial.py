@@ -54,3 +54,40 @@ def test_sharded_garbage_halo_is_masked(rng):
     )
     mask_d, _ = fast.detect_dense(img, 16, 9, NonmaxMode.OFF)
     np.testing.assert_array_equal(np.asarray(mask_s), np.asarray(mask_d))
+
+
+@pytest.mark.parametrize(
+    "mode", [NonmaxMode.OFF, NonmaxMode.MAX_THRESHOLD, NonmaxMode.SUM_ABSOLUTE]
+)
+def test_sharded_keypoint_list_matches_api(reference_image, mode):
+    """The sharded path must deliver the reference's keypoint-LIST
+    contract (lib.rs:56-64): per-shard packed-words emission + per-shard
+    superword compaction + order-preserving stitch, bit-identical —
+    values and row-major order — to the single-device api.detect_arrays
+    (VERDICT r2 #5)."""
+    from feature_detector_fast_tpu import Config, api
+
+    img = jnp.asarray(reference_image)
+    mesh = meshlib.make_mesh()
+    xy_s = spatial.detect_arrays_rows_sharded(
+        img, 16, 9, mode, mesh=mesh, interpret=True
+    )
+    xy_d = api.detect_arrays(np.asarray(reference_image),
+                             Config(16, 9, mode))
+    np.testing.assert_array_equal(np.asarray(xy_s), np.asarray(xy_d))
+
+
+def test_sharded_keypoint_list_overflow_retry(rng):
+    """A 1-superword-per-shard starting cap must grow (never dropping
+    keypoints) until the densest shard fits."""
+    from feature_detector_fast_tpu import Config, api
+
+    img = jnp.asarray(rng.integers(0, 256, (512, 131), np.uint8))
+    mesh = meshlib.make_mesh()
+    xy_s = spatial.detect_arrays_rows_sharded(
+        img, 16, 9, NonmaxMode.OFF, mesh=mesh, max_supers_local=1,
+        interpret=True,
+    )
+    xy_d = api.detect_arrays(np.asarray(img), Config(16, 9, NonmaxMode.OFF))
+    assert len(xy_d) > 8  # the tiny cap genuinely overflowed
+    np.testing.assert_array_equal(np.asarray(xy_s), np.asarray(xy_d))
