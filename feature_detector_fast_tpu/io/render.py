@@ -38,6 +38,19 @@ class RenderConfig:
     z_back: float = 24.0
     cell: float = 0.22  # checker cell size (world units)
     seed: int = 0
+    # Degradations (VERDICT r2 #4: test BRIEF matching off its best case).
+    # All default OFF so golden/parity tests keep their clean frames.
+    noise_sigma: float = 0.0  # additive intensity noise, gray levels
+    blur: bool = False  # 3x3 binomial blur (mild defocus)
+    vignette: float = 0.0  # corner intensity falloff fraction (0..1)
+    # Interior boxes: free-standing textured cuboids.  A wall-only room
+    # seen down its axis is ONE dominant plane (the back wall fills the
+    # FOV), which is exactly the degenerate configuration for essential-
+    # matrix estimation; interior boxes put keypoints at genuinely
+    # different depths in every view.
+    n_boxes: int = 0
+    box_z_near: float = 5.0  # interior boxes confined to z in [near, far]
+    box_z_far: float = 10.0
 
     @property
     def cx(self) -> float:
@@ -72,8 +85,53 @@ def _wall_texture(u: np.ndarray, v: np.ndarray, wall: int,
     return (30.0 + 195.0 * g)
 
 
-def render_frame(world_T_cam: np.ndarray, cfg: RenderConfig) -> np.ndarray:
-    """Render one grayscale uint8 (H, W) frame from a world_T_cam pose."""
+def _interior_boxes(cfg: RenderConfig) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Deterministic (lo, hi) corner pairs of the config's interior boxes,
+    hashed from the seed; confined to x/y within the room with margin and
+    z in [box_z_near, box_z_far] (clear of the demo camera paths)."""
+    boxes = []
+    for b in range(cfg.n_boxes):
+        u = np.array([_hash2(np.int64(b), np.int64(i), cfg.seed * 31 + 7)
+                      for i in range(6)], np.float64)
+        cx = cfg.x_min + 1.0 + u[0] * (cfg.x_max - cfg.x_min - 2.0)
+        cy = cfg.y_min + 0.8 + u[1] * (cfg.y_max - cfg.y_min - 1.6)
+        cz = cfg.box_z_near + u[2] * (cfg.box_z_far - cfg.box_z_near)
+        sx, sy, sz = 0.4 + 0.8 * u[3], 0.4 + 0.8 * u[4], 0.4 + 0.8 * u[5]
+        lo = np.array([cx - sx / 2, cy - sy / 2, cz - sz / 2])
+        hi = np.array([cx + sx / 2, cy + sy / 2, cz + sz / 2])
+        boxes.append((lo, hi))
+    return boxes
+
+
+def _degrade(img: np.ndarray, cfg: RenderConfig, frame_id: int) -> np.ndarray:
+    """Deterministic camera-realism degradations on the float image:
+    3x3 binomial blur (defocus), radial vignette, additive per-pixel
+    intensity noise (Irwin-Hall sum of 4 hashed uniforms ~ gaussian).
+    Seeded by (cfg.seed, frame_id): bit-reproducible across runs."""
+    h, w = img.shape
+    if cfg.blur:
+        k = np.array([1.0, 2.0, 1.0]) / 4.0
+        p = np.pad(img, 1, mode="edge")
+        img = (p[:-2] * k[0] + p[1:-1] * k[1] + p[2:] * k[2])[:, 1:-1]
+        p = np.pad(img, ((0, 0), (1, 1)), mode="edge")
+        img = p[:, :-2] * k[0] + p[:, 1:-1] * k[1] + p[:, 2:] * k[2]
+    if cfg.vignette:
+        yy, xx = np.mgrid[0:h, 0:w]
+        r2 = (((xx - cfg.cx) / (w / 2.0)) ** 2
+              + ((yy - cfg.cy) / (h / 2.0)) ** 2)
+        img = img * (1.0 - cfg.vignette * r2 / 2.0)
+    if cfg.noise_sigma:
+        yy, xx = np.mgrid[0:h, 0:w]
+        salt = cfg.seed * 2654435761 + frame_id * 40503
+        u = sum(_hash2(xx, yy, salt + i) for i in range(4))
+        img = img + (u - 2.0) * np.sqrt(3.0) * cfg.noise_sigma
+    return img
+
+
+def render_frame(world_T_cam: np.ndarray, cfg: RenderConfig,
+                 frame_id: int = 0) -> np.ndarray:
+    """Render one grayscale uint8 (H, W) frame from a world_T_cam pose.
+    ``frame_id`` seeds the per-frame noise field (when enabled)."""
     h, w = cfg.height, cfg.width
     xs = (np.arange(w) - cfg.cx) / cfg.fx
     ys = (np.arange(h) - cfg.cy) / cfg.fy
@@ -111,6 +169,27 @@ def render_frame(world_T_cam: np.ndarray, cfg: RenderConfig) -> np.ndarray:
             tex = _wall_texture(p[..., ua], p[..., va], wall_id, cfg)
             img = np.where(closer, tex, img)
             best_t = np.where(closer, t, best_t)
+
+    # interior boxes: 6 one-sided faces each, nearest-hit composited
+    eps = 1e-9
+    for bi, (blo, bhi) in enumerate(_interior_boxes(cfg)):
+        for fi in range(6):
+            axis, plane = fi // 2, (blo, bhi)[fi % 2][fi // 2]
+            ua, va = [ax for ax in range(3) if ax != axis]
+            da = d[..., axis]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = (plane - o[axis]) / da
+            p = o[None, None, :] + t[..., None] * d
+            ok = (t > 1e-6) & np.isfinite(t)
+            for ax in (ua, va):
+                ok &= (p[..., ax] >= blo[ax] - eps) & (p[..., ax] <= bhi[ax] + eps)
+            closer = ok & (t < best_t)
+            if closer.any():
+                tex = _wall_texture(p[..., ua], p[..., va],
+                                    10 + bi * 6 + fi, cfg)
+                img = np.where(closer, tex, img)
+                best_t = np.where(closer, t, best_t)
+    img = _degrade(img, cfg, frame_id)
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
@@ -118,7 +197,28 @@ def render_sequence(
     gt_poses: np.ndarray, cfg: RenderConfig = RenderConfig()
 ) -> List[np.ndarray]:
     """Render every world_T_cam pose of a trajectory to a frame list."""
-    return [render_frame(T, cfg) for T in np.asarray(gt_poses)]
+    return [render_frame(T, cfg, frame_id=k)
+            for k, T in enumerate(np.asarray(gt_poses))]
+
+
+def loop_trajectory(n_frames: int, radius: float = 1.6,
+                    sway: float = 0.25) -> np.ndarray:
+    """Ground-truth world_T_cam circuit with a GENUINE revisit: the camera
+    translates around a circle in the x-z plane (always facing roughly +z,
+    with a small yaw wobble), so the last frames see the same walls as the
+    first — image-level loop closure has real redundancy to find.  The
+    circle plus vertical sway gives parallax against every wall."""
+    poses = []
+    for k in range(n_frames):
+        th = 2.0 * np.pi * k / n_frames
+        yaw = 0.12 * np.sin(th)
+        c, s = np.cos(yaw), np.sin(yaw)
+        T = np.eye(4)
+        T[:3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        T[:3, 3] = [radius * np.sin(th), sway * np.sin(2 * th),
+                    radius * (1.0 - np.cos(th))]
+        poses.append(T)
+    return np.stack(poses)
 
 
 def demo_trajectory(n_frames: int, step: float = 0.35,

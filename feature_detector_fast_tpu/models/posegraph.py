@@ -98,35 +98,125 @@ def _cg(matvec, b, iters: int, damping):
     return x
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 5))
 def optimize(
     g: PoseGraph,
     iterations: int = 10,
     solver: str = "dense",
     cg_iters: int = 50,
     damping: float = 1e-6,
+    robust_delta: float = 0.0,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Levenberg-style Gauss-Newton.  Returns (poses, per-iteration cost)."""
+    """Levenberg-style Gauss-Newton.  Returns (poses, per-iteration cost).
+
+    ``robust_delta > 0`` enables Geman-McClure IRLS: each iteration
+    reweights edge e by delta^2/(delta^2 + ||r_e||^2) of its CURRENT
+    residual norm.  The kernel REDESCENDS — influence rho*w^2 -> 0 as the
+    residual grows — so a wildly inconsistent edge (a bad loop-closure
+    hypothesis; at image level a degenerate RANSAC model can carry a high
+    inlier count) is effectively switched off instead of dragging the
+    chain, which a bounded-influence (Huber) kernel measurably still
+    does.  Acceptance compares the Geman-McClure cost
+    rho^2*delta^2/(delta^2+rho^2).  delta ~ the residual norm where
+    influence peaks (se3-log units).
+
+    Damping is ADAPTIVE Levenberg-Marquardt carried through the scan:
+    ``damping`` seeds lambda; a rejected step multiplies it, an accepted
+    one shrinks it.  Fixed-damping Gauss-Newton measurably stalls on
+    loop-closure graphs (one accepted step, then every full step
+    overshoots).  Acceptance also requires a FINITE new cost: XLA-fused
+    f32 can produce NaN in the solve where the eager computation does
+    not, and an unguarded ``NaN < r2`` silently freezes the optimizer."""
     n = g.poses.shape[0]
 
-    def step(poses, _):
-        gg = g._replace(poses=poses)
-        jtj_v, jtr, r2 = _normal_system(gg)
-        if solver == "dense":
-            eye = jnp.eye(n * 6, dtype=poses.dtype)
-            J_cols = jax.vmap(lambda e: jtj_v(e.reshape(n, 6)).reshape(-1))(eye)
-            H = J_cols.T + damping * eye
-            delta = -jnp.linalg.solve(H, jtr.reshape(-1)).reshape(n, 6)
-        else:  # "cg"
-            delta = -_cg(jtj_v, jtr, cg_iters, damping)
-        delta = delta.at[0].set(0.0)
-        new_poses = lie.se3_exp(delta) @ poses
-        # accept only if cost decreases (cheap safeguard)
-        new_r = edge_residuals(new_poses, g)
-        new_r2 = jnp.sum(new_r * new_r)
-        better = new_r2 < r2
-        poses = jnp.where(better, new_poses, poses)
-        return poses, jnp.minimum(new_r2, r2)
+    def robust_cost(poses):
+        r = edge_residuals(poses, g)
+        rho2 = jnp.sum(r * r, axis=-1)
+        d2 = robust_delta * robust_delta
+        return jnp.sum(d2 * rho2 / (d2 + rho2))
 
-    poses, costs = jax.lax.scan(step, g.poses, None, length=iterations)
+    def step(carry, _):
+        poses, lam = carry
+        gg = g._replace(poses=poses)
+        if robust_delta > 0.0:
+            r_cur = edge_residuals(poses, gg)
+            rho2 = jnp.sum(r_cur * r_cur, axis=-1)
+            d2 = robust_delta * robust_delta
+            s = d2 / (d2 + rho2)
+            gg = gg._replace(edge_weight=g.edge_weight * s)
+        if solver == "dense":
+            # Forward-mode Jacobian + explicit JtJ.  NOT vjp: reverse-mode
+            # through se3_log near-pi edges produces NaN under XLA fusion
+            # (f32, jit) where both the eager computation and forward-mode
+            # are finite — and one NaN row of J poisons the whole system.
+            zero = jnp.zeros((n, 6), poses.dtype)
+            r0 = _residual_of_delta(zero, gg)
+            J = jax.jacfwd(lambda d: _residual_of_delta(d, gg))(zero)
+            J = J.reshape(r0.size, n * 6)
+            r2 = jnp.sum(r0 * r0)
+            jtr = J.T @ r0
+            H = J.T @ J + lam * jnp.eye(n * 6, dtype=poses.dtype)
+            delta = -jnp.linalg.solve(H, jtr).reshape(n, 6)
+        else:  # "cg"
+            jtj_v, jtr, r2 = _normal_system(gg)
+            delta = -_cg(jtj_v, jtr, cg_iters, lam)
+        if robust_delta > 0.0:
+            r2 = robust_cost(poses)
+        delta = delta.at[0].set(0.0)
+        delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
+        new_poses = lie.se3_exp(delta) @ poses
+        if robust_delta > 0.0:
+            new_r2 = robust_cost(new_poses)
+        else:
+            new_r = edge_residuals(new_poses, g)
+            new_r2 = jnp.sum(new_r * new_r)
+        better = jnp.isfinite(new_r2) & (new_r2 < r2)
+        poses = jnp.where(better, new_poses, poses)
+        lam = jnp.where(better, jnp.maximum(lam / 3.0, 1e-9),
+                        jnp.minimum(lam * 8.0, 1e8))
+        cost = jnp.where(better, new_r2, r2)
+        return (poses, lam), cost
+
+    lam0 = jnp.asarray(damping, g.poses.dtype)
+    (poses, _), costs = jax.lax.scan(step, (g.poses, lam0), None,
+                                     length=iterations)
     return poses, costs
+
+
+def solve_scale_drift(
+    n: int,
+    con_i: jax.Array,
+    con_j: jax.Array,
+    con_log: jax.Array,
+    con_weight: jax.Array,
+    smooth_weight: float = 1.0,
+) -> jax.Array:
+    """Estimate per-segment monocular log scale-drift by LINEAR least
+    squares (the scale component of Strasdat-style drift correction,
+    solved in closed form instead of inside the nonconvex joint Sim(3)
+    problem, whose basin from a drifted init is measurably treacherous).
+
+    Variables x_k = log of segment k's chain-scale error factor,
+    k in [0, n).  Rows:
+      * smoothness: x_{k+1} - x_k = 0, weight ``smooth_weight`` (scale
+        chaining drifts as a random walk),
+      * measurements: x_{con_i[m]} - x_{con_j[m]} = con_log[m] with
+        ``con_weight[m]`` (a loop pair's depth-ratio observation of the
+        relative drift between two segments).
+    Gauge x_0 = 0 via a strong prior row.  Returns x (n,), the log
+    correction to DIVIDE out of each segment's translation."""
+    con_i = jnp.asarray(con_i, jnp.int32)
+    con_j = jnp.asarray(con_j, jnp.int32)
+    m = con_i.shape[0]
+    rows = (n - 1) + m + 1
+    A = jnp.zeros((rows, n))
+    b = jnp.zeros((rows,))
+    k = jnp.arange(n - 1)
+    A = A.at[k, k + 1].set(smooth_weight).at[k, k].add(-smooth_weight)
+    r = n - 1 + jnp.arange(m)
+    w = jnp.asarray(con_weight)
+    A = A.at[r, con_i].add(w).at[r, con_j].add(-w)
+    b = b.at[r].set(jnp.asarray(con_log) * w)
+    A = A.at[rows - 1, 0].set(1e3)  # gauge: x_0 = 0
+    x, *_ = jnp.linalg.lstsq(A, b)
+    return x

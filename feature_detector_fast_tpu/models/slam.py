@@ -52,7 +52,36 @@ class VOConfig:
     ransac_hypotheses: int = 256
     ransac_threshold: float = 1e-4
     pose_graph_iters: int = 10
+    #: Huber saturation (se3-log units) for pose-graph edges when loop
+    #: closures are present: image-level loop hypotheses can be
+    #: confidently wrong (a degenerate RANSAC model with many inliers),
+    #: so their influence must saturate instead of tearing the chain.
+    loop_robust_delta: float = 0.25
+    #: Pose-graph iterations when loop closures are present (adaptive-LM
+    #: retries consume iterations; loop graphs need more than chains).
+    loop_pose_graph_iters: int = 40
+    #: Max median-absolute-deviation of a loop pair's log depth ratios;
+    #: dispersion above this means the pair's two-view geometry is
+    #: inconsistent with the chain (degenerate models carry high inlier
+    #: counts) and the hypothesis is dropped.
+    loop_ratio_mad_max: float = 0.3
+    #: Pose-graph weight of loop-closure edges relative to odometry
+    #: edges (their scale-drift observations always enter the linear
+    #: drift solve at full weight; this weights only the SE(3) residual).
+    loop_edge_weight: float = 1.0
+    #: Loop pairs closer than this many frames contribute only their
+    #: scale-drift observation, not an SE(3) edge: short loops' pose
+    #: estimates are barely independent of the chain (noise, not
+    #: correction), while their depth-ratio drift observations stay
+    #: valuable.
+    loop_edge_min_gap: int = 0
     seed: int = 0
+    #: >1 detects+describes over a dyadic image pyramid
+    #: (models.pyramid): each level contributes max_keypoints //
+    #: pyramid_levels slots and matching runs over the concatenated
+    #: multi-level sets, so features survive large scale changes (fast
+    #: forward motion) that single-scale BRIEF cannot match across.
+    pyramid_levels: int = 1
 
 
 class PairBatch(NamedTuple):
@@ -236,9 +265,16 @@ def run_vo_matches(
 
     # Loop-closure edges: ALL loop pairs estimated in one more batched
     # dispatch; each recovers its monocular scale against pair i's chained
-    # depths by exact frame-i slot index.
+    # depths by exact frame-i slot index.  Loop tuples may carry a sixth
+    # element idx_b (frame-j keypoint slot per correspondence, as
+    # propose_loop_closures emits): with it, a loop also OBSERVES the
+    # relative scale drift between segments i and j (depth ratios at both
+    # endpoints), and the drift is divided out of the whole chain by a
+    # linear solve before the pose graph runs — an SE(3) pose graph
+    # structurally cannot absorb monocular scale drift, and uncorrected
+    # loop edges measurably made the trajectory worse, not better.
     if loop_pairs:
-        lbatch = _as_pair_batch([(pa, pb, v) for (_, _, pa, pb, v) in loop_pairs])
+        lbatch = _as_pair_batch([e[2:] for e in loop_pairs])
         if lbatch.pa.shape[1] != batch.pa.shape[1]:
             # `est` was computed at batch's slot capacity, so batch must
             # never be re-padded here — align lbatch to it instead.  Loop
@@ -263,7 +299,26 @@ def run_vo_matches(
                     lbatch.idx_b[:, :k_cap],
                 )
         lest = estimate_pairs(lbatch, config, seed_offset=1)
-        for li, (i, j, _, _, _) in enumerate(loop_pairs):
+        k_cap = batch.pa.shape[1]
+
+        def chain_depth_table(f: int) -> Tuple[np.ndarray, int]:
+            """(per-frame-f-slot chain-unit depth table, segment index
+            whose scale error it carries).  Frame f's chain depths come
+            from pair f when it exists, else from pair f-1's second-frame
+            depths remapped through its idx_b."""
+            tbl = np.full(k_cap, np.nan)
+            if f < p:
+                m = est.inl[f] & (est.depths_a[f] > 1e-6)
+                tbl[m] = est.depths_a[f, m] * scales[f]
+                return tbl, f
+            m = est.inl[f - 1] & (batch.idx_b[f - 1] >= 0) & (
+                est.depths_b[f - 1] > 1e-6)
+            tbl[batch.idx_b[f - 1, m]] = est.depths_b[f - 1, m] * scales[f - 1]
+            return tbl, f - 1
+
+        accepted = []  # (i, j, li, r_i, seg_j or None, log_drift or None)
+        for li, entry in enumerate(loop_pairs):
+            i, j = int(entry[0]), int(entry[1])
             n_inl = int(lest.inl[li].sum())
             if n_inl < 16 or i >= p:
                 continue
@@ -276,20 +331,74 @@ def run_vo_matches(
             )
             if m.sum() < 8:
                 continue
-            ratios = est.depths_a[i, m] * scales[i] / lest.depths_a[li, m]
-            s_loop = float(np.median(ratios))
+            lr = np.log(est.depths_a[i, m] * scales[i]
+                        / lest.depths_a[li, m])
+            mad = float(np.median(np.abs(lr - np.median(lr))))
+            if mad > config.loop_ratio_mad_max:
+                # Dispersed depth ratios mean the loop pair's geometry is
+                # inconsistent with the chain (a degenerate RANSAC model
+                # can carry many inliers) — drop the hypothesis.
+                continue
+            r_i = float(np.exp(np.median(lr)))
+            # Relative drift observation r_i/r_j needs frame-j chain
+            # depths linked through the loop's idx_b.
+            seg_j = log_drift = None
+            lidx = lbatch.idx_b[li]
+            tbl_j, seg = chain_depth_table(j)
+            m2 = lest.inl[li] & (lidx >= 0) & (lest.depths_b[li] > 1e-6)
+            d_chain_j = np.where(m2, tbl_j[np.clip(lidx, 0, k_cap - 1)],
+                                 np.nan)
+            ok2 = np.isfinite(d_chain_j) & m2
+            if ok2.sum() >= 8:
+                lrj = np.log(d_chain_j[ok2] / lest.depths_b[li, ok2])
+                if float(np.median(np.abs(lrj - np.median(lrj)))) \
+                        <= config.loop_ratio_mad_max:
+                    r_j = float(np.exp(np.median(lrj)))
+                    seg_j = seg
+                    log_drift = float(np.log(r_i / r_j))
+            accepted.append((i, j, li, r_i, seg_j, log_drift))
+
+        # Per-segment scale-drift correction from the loops' relative
+        # drift observations (linear LS; segment 0 is the gauge).
+        c = np.ones(p)
+        cons = [(i, sj, ld) for (i, _, _, _, sj, ld) in accepted
+                if sj is not None and i != sj]
+        if cons:
+            ci = np.array([x[0] for x in cons], np.int32)
+            cj = np.array([x[1] for x in cons], np.int32)
+            cl = np.array([x[2] for x in cons])
+            log_c = np.asarray(posegraph.solve_scale_drift(
+                p, jnp.asarray(ci), jnp.asarray(cj), jnp.asarray(cl),
+                jnp.ones(len(cons)),
+            ))
+            c = np.exp(log_c)
+            # re-integrate the chain with drift divided out
+            poses = [np.eye(4)]
+            for k in range(p):
+                rel = rels[k].copy()
+                rel[:3, 3] = rel[:3, 3] / c[k]
+                rels[k] = rel
+                edge_T[k] = rel
+                poses.append(poses[-1] @ rel)
+            poses = np.stack(poses)
+
+        for (i, j, li, r_i, seg_j, log_drift) in accepted:
+            if j - i < config.loop_edge_min_gap:
+                continue
+            s_loop = r_i / c[i]
             Tji = np.eye(4)
             Tji[:3, :3] = lest.R[li]
             Tji[:3, 3] = lest.t_unit[li] * s_loop
             edge_i.append(i)
             edge_j.append(j)
             edge_T.append(np.linalg.inv(Tji))  # measured T_i^-1 T_j
-            edge_w.append(1.0)
+            edge_w.append(config.loop_edge_weight)
             if metrics is not None:
                 metrics.append({
                     "pair": (i, j), "loop_closure": True,
                     "matches": int(lbatch.valid[li].sum()),
-                    "inliers": n_inl, "scale": s_loop,
+                    "inliers": int(lest.inl[li].sum()), "scale": s_loop,
+                    "log_drift": log_drift,
                 })
 
     poses_j = jnp.asarray(poses)  # float32 unless x64 is enabled
@@ -301,7 +410,13 @@ def run_vo_matches(
         edge_valid=jnp.ones(len(edge_i), bool),
         edge_weight=jnp.asarray(edge_w, poses_j.dtype),
     )
-    opt_poses, _ = posegraph.optimize(g, config.pose_graph_iters, "dense")
+    has_loops = len(edge_i) > n - 1
+    opt_poses, _ = posegraph.optimize(
+        g,
+        config.loop_pose_graph_iters if has_loops else config.pose_graph_iters,
+        "dense",
+        robust_delta=config.loop_robust_delta if has_loops else 0.0,
+    )
     result = np.asarray(opt_poses)
     if ba_refine:
         result = refine_with_ba(result, batch, est, mesh=mesh)
@@ -320,9 +435,7 @@ def frontend_matches(
     dispatch matches all consecutive pairs — per-frame dispatches each pay
     a host round trip on remote-attached TPUs."""
     stack = jnp.asarray(np.stack(frames))
-    kps, desc, dvalid = brief.detect_and_describe_batch(
-        stack, config.threshold, config.count, config.max_keypoints
-    )
+    xy, desc, dvalid = _frontend_features(stack, config)
 
     def pair_match(kxy_a, da, va, kxy_b, db, vb):
         m = match.match.__wrapped__(da, va, db, vb)
@@ -332,11 +445,36 @@ def frontend_matches(
         return na, nb, ok, m.idx_b
 
     na, nb, ok, idx = jax.jit(jax.vmap(pair_match))(
-        kps.xy[:-1], desc[:-1], dvalid[:-1],
-        kps.xy[1:], desc[1:], dvalid[1:],
+        xy[:-1], desc[:-1], dvalid[:-1],
+        xy[1:], desc[1:], dvalid[1:],
     )
     na, nb, ok, idx = jax.device_get((na, nb, ok, idx))
     return [(na[k], nb[k], ok[k], idx[k]) for k in range(len(frames) - 1)]
+
+
+def _frontend_features(stack: jax.Array, config: VOConfig):
+    """Per-frame keypoint coordinates + descriptors + validity for a
+    (F, H, W) stack: single-scale (brief) or multi-scale (pyramid) per
+    ``config.pyramid_levels``.  Multi-scale slots concatenate the levels
+    (coordinates at level-0 resolution), so matching — and slam's exact
+    slot-index linkage — runs over the union of scales."""
+    if config.pyramid_levels > 1:
+        from . import pyramid
+
+        k_per = max(1, config.max_keypoints // config.pyramid_levels)
+
+        def one(im):
+            f = pyramid.detect_and_describe_multiscale(
+                im, config.threshold, config.count, k_per,
+                n_levels=config.pyramid_levels,
+            )
+            return f.xy0, f.desc, f.valid
+
+        return jax.vmap(one)(stack)
+    kps, desc, dvalid = brief.detect_and_describe_batch(
+        stack, config.threshold, config.count, config.max_keypoints
+    )
+    return kps.xy, desc, dvalid
 
 
 def propose_loop_closures(
@@ -352,16 +490,15 @@ def propose_loop_closures(
     ``chunk`` (the (C, K, K) Hamming-distance intermediates grow
     quadratically in K — one flat dispatch over all O(F^2) candidates is
     multi-GB at F=60, K=1024); pairs with enough mutual matches become
-    constraints for `run_vo_matches`.  Returned slots are frame-i keypoint
-    slots, as the loop-scale linkage requires."""
+    (i, j, pa, pb, valid, idx_b) constraints for `run_vo_matches`.
+    Returned slots are frame-i keypoint slots and idx_b the matched
+    frame-j keypoint slot, as the loop scale-drift linkage requires."""
     f = len(frames)
     cand = [(i, j) for i in range(f) for j in range(i + gap, f)]
     if not cand:
         return []
     stack = jnp.asarray(np.stack(frames))
-    kps, desc, dvalid = brief.detect_and_describe_batch(
-        stack, config.threshold, config.count, config.max_keypoints
-    )
+    xy, desc, dvalid = _frontend_features(stack, config)
     ii = np.asarray([c[0] for c in cand])
     jj = np.asarray([c[1] for c in cand])
 
@@ -370,33 +507,35 @@ def propose_loop_closures(
         pa, pb, ok = match.match_points(kxy_a, kxy_b, m)
         na = twoview.normalize_points(pa.astype(jnp.float32), config.camera)
         nb = twoview.normalize_points(pb.astype(jnp.float32), config.camera)
-        return na, nb, ok
+        return na, nb, ok, m.idx_b
 
     matcher = jax.jit(jax.vmap(pair_match))
     # Pad the last chunk to the full chunk size so every dispatch shares
     # one compiled program (a new chunk length is a new XLA program).
     n = len(cand)
     pad_to = min(chunk, n) if n <= chunk else chunk
-    na_parts, nb_parts, ok_parts = [], [], []
+    na_parts, nb_parts, ok_parts, idx_parts = [], [], [], []
     for s in range(0, n, chunk):
         sel = np.arange(s, min(s + chunk, n))
         if len(sel) < pad_to:
             sel = np.concatenate(
                 [sel, np.full(pad_to - len(sel), sel[-1])])
-        cna, cnb, cok = jax.device_get(matcher(
-            kps.xy[ii[sel]], desc[ii[sel]], dvalid[ii[sel]],
-            kps.xy[jj[sel]], desc[jj[sel]], dvalid[jj[sel]],
+        cna, cnb, cok, cidx = jax.device_get(matcher(
+            xy[ii[sel]], desc[ii[sel]], dvalid[ii[sel]],
+            xy[jj[sel]], desc[jj[sel]], dvalid[jj[sel]],
         ))
         take = min(s + chunk, n) - s
         na_parts.append(cna[:take])
         nb_parts.append(cnb[:take])
         ok_parts.append(cok[:take])
+        idx_parts.append(cidx[:take])
     na = np.concatenate(na_parts)
     nb = np.concatenate(nb_parts)
     ok = np.concatenate(ok_parts)
+    idx = np.concatenate(idx_parts)
     counts = ok.sum(axis=1)
     return [
-        (int(ii[c]), int(jj[c]), na[c], nb[c], ok[c])
+        (int(ii[c]), int(jj[c]), na[c], nb[c], ok[c], idx[c])
         for c in range(len(cand))
         if counts[c] >= min_matches
     ]
@@ -486,14 +625,21 @@ def refine_with_ba(
     iterations: int = 8,
     cg_iters: int = 30,
     mesh=None,
+    windowed_threshold: int = 16,
+    window: int = 8,
+    stride: int = 5,
 ) -> np.ndarray:
     """Structure-from-motion refinement of a VO trajectory: build tracks,
     triangulate landmarks from the current poses, run Schur-complement BA
     (camera 0 gauge-fixed), return refined world_T_cam poses.
 
-    With ``mesh``, the BA runs distributed: observations shard over the
-    `data` axis and Schur reductions become psum collectives
-    (parallel.ba_sharded) — the full-distributed-SLAM configuration."""
+    Trajectories of ``windowed_threshold`` or more frames route through
+    sliding-window BA (models.windowed_ba): overlapping ``window``-camera
+    subproblems refine as one vmapped batch — sharded over the mesh's
+    data axis when a mesh is given (sequence parallelism, SURVEY.md §5.7)
+    — and stitch back rigidly.  Shorter trajectories solve one global BA;
+    with ``mesh`` that BA itself runs distributed (observations sharded,
+    psum Schur reductions, parallel.ba_sharded)."""
     from . import ba as ba_lib
 
     obs_cam, obs_lm, obs_uv = build_tracks(batch, est)
@@ -538,6 +684,20 @@ def refine_with_ba(
     track_ok = np.ones(n_lm, bool)
     np.minimum.at(track_ok, obs_lm, obs_ok)
     valid = track_ok[obs_lm]
+
+    n_cams = poses.shape[0]
+    if n_cams >= int(windowed_threshold):
+        # Sequence-parallel route: culled observations feed the sliding-
+        # window builder; windows refine as one (mesh-shardable) batch.
+        from . import windowed_ba
+
+        sel = np.nonzero(valid)[0]
+        new_w2c = windowed_ba.refine_trajectory_windowed(
+            w2c, pts, obs_cam[sel], obs_lm[sel],
+            np.asarray(obs_uv)[sel], window=int(window),
+            stride=int(stride), iterations=int(iterations), mesh=mesh,
+        )
+        return np.linalg.inv(np.asarray(new_w2c))
 
     problem = ba_lib.BAProblem(
         poses=jnp.asarray(w2c),

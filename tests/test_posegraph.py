@@ -105,3 +105,70 @@ def test_gauge_pose0_fixed(rng):
     np.testing.assert_allclose(
         np.asarray(poses)[0], np.asarray(g.poses)[0], atol=1e-12
     )
+
+
+def test_solve_scale_drift_recovers_random_walk(rng):
+    """The linear drift solve must recover a random-walk log-scale drift
+    (up to smoothing shrinkage) from noiseless relative observations."""
+    import jax.numpy as jnp
+
+    from feature_detector_fast_tpu.models import posegraph
+
+    n = 20
+    drift = np.cumsum(rng.normal(0, 0.1, n))
+    drift -= drift[0]
+    # dense exact relative observations between far-apart segments
+    ci, cj, cl = [], [], []
+    for i in range(n):
+        for j in range(i + 5, n):
+            ci.append(i)
+            cj.append(j)
+            cl.append(drift[i] - drift[j])
+    x = np.asarray(posegraph.solve_scale_drift(
+        n, jnp.asarray(ci, jnp.int32), jnp.asarray(cj, jnp.int32),
+        jnp.asarray(np.array(cl)), jnp.ones(len(ci)),
+    ))
+    # gauge fixed at 0, shape recovered
+    assert abs(x[0]) < 1e-3
+    err = np.abs(x - drift)
+    assert err.max() < 0.05, (x, drift)
+
+
+def test_optimize_robust_rejects_outlier_edge(rng):
+    """Huber IRLS: one wildly wrong loop edge must not tear a consistent
+    chain apart (non-robust optimization visibly distorts it)."""
+    import jax.numpy as jnp
+
+    from feature_detector_fast_tpu.models import lie, posegraph
+
+    n = 10
+    poses = [np.eye(4)]
+    rels = []
+    for k in range(n - 1):
+        xi = np.array([0.0, 0.0, 0.5, 0.0, 0.08, 0.0])
+        rel = np.asarray(lie.se3_exp(jnp.asarray(xi)))
+        rels.append(rel)
+        poses.append(poses[-1] @ rel)
+    poses = np.stack(poses)
+    # outlier loop edge claiming frames 0 and 7 coincide with a flip
+    bad = np.eye(4)
+    bad[:3, :3] = np.asarray(lie.so3_exp(jnp.asarray([0.0, 3.0, 0.0])))
+    ei = list(range(n - 1)) + [0]
+    ej = list(range(1, n)) + [7]
+    eT = rels + [bad]
+    g = posegraph.PoseGraph(
+        poses=jnp.asarray(poses),
+        edge_i=jnp.asarray(ei, jnp.int32),
+        edge_j=jnp.asarray(ej, jnp.int32),
+        edge_T=jnp.asarray(np.stack(eT), jnp.asarray(poses).dtype),
+        edge_valid=jnp.ones(n, bool),
+        edge_weight=jnp.ones(n, jnp.asarray(poses).dtype),
+    )
+    opt_rob, _ = posegraph.optimize(g, 30, "dense", robust_delta=0.2)
+    move_rob = np.linalg.norm(np.asarray(opt_rob)[:, :3, 3] - poses[:, :3, 3],
+                              axis=1).max()
+    opt_raw, _ = posegraph.optimize(g, 30, "dense")
+    move_raw = np.linalg.norm(np.asarray(opt_raw)[:, :3, 3] - poses[:, :3, 3],
+                              axis=1).max()
+    assert move_rob < 0.2, move_rob          # chain essentially preserved
+    assert move_rob < 0.5 * move_raw, (move_rob, move_raw)

@@ -216,3 +216,36 @@ def test_vo_loop_pair_wider_than_main_batch(rng):
     )
     assert est.shape == (len(gt), 4, 4)
     assert np.isfinite(est).all()
+
+
+def test_vo_ba_windowed_routing(rng):
+    """Trajectories >= windowed_threshold frames route ba_refine through
+    sliding-window BA (sequence parallelism, VERDICT r2 #7); the windowed
+    route must match the global-BA route's quality, single-device and on
+    the 8-device mesh."""
+    from feature_detector_fast_tpu.models import slam as slam_mod
+    from feature_detector_fast_tpu.parallel import mesh as meshlib
+
+    gt = make_trajectory(18, step=0.35)
+    pair_data = synth_pair_data(rng, gt, n_pts=3000, noise=6e-4)
+    batch = slam_mod._as_pair_batch(pair_data)
+    est = slam_mod.estimate_pairs(batch, slam.VOConfig())
+    base = slam.run_vo_matches(list(pair_data), slam.VOConfig())
+
+    # default threshold (16): 18 frames -> windowed
+    win = slam_mod.refine_with_ba(base, batch, est)
+    # forced global BA on the same inputs
+    glob = slam_mod.refine_with_ba(base, batch, est, windowed_threshold=99)
+    # windowed over the mesh (sequence-parallel)
+    win8 = slam_mod.refine_with_ba(base, batch, est,
+                                   mesh=meshlib.make_mesh())
+
+    a0 = slam.evaluate_ate(base, gt)
+    aw = slam.evaluate_ate(win, gt)
+    ag = slam.evaluate_ate(glob, gt)
+    a8 = slam.evaluate_ate(win8, gt)
+    # windowed refinement must not degrade the trajectory, must stay in
+    # the same quality class as global BA, and shard without quality loss
+    assert aw < a0 * 1.1, (a0, aw)
+    assert aw < max(2.0 * ag, 0.02 * a0 + 1e-6) + 1e-9, (ag, aw)
+    assert abs(a8 - aw) < 0.3 * max(a8, aw) + 1e-9, (aw, a8)

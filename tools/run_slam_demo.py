@@ -94,28 +94,71 @@ def demo_synthetic(n: int) -> int:
 
 
 def demo_render(n: int) -> int:
+    """Staged image-level SLAM on a rendered closed circuit with a real
+    revisit, camera degradations (noise/blur/vignette) and interior 3-D
+    boxes: odometry -> +image-level loop closures -> +BA refinement, each
+    stage scored against the exact render poses."""
     from feature_detector_fast_tpu.io import render
     from feature_detector_fast_tpu.models import slam
 
-    cfg = render.RenderConfig()
-    gt = render.demo_trajectory(n)
+    cfg = render.RenderConfig(z_back=12.0, cell=0.3, n_boxes=10,
+                              noise_sigma=4.0, blur=True, vignette=0.25,
+                              seed=3)
+    gt = render.loop_trajectory(max(n, 16), radius=2.0)
     t0 = time.perf_counter()
     frames = render.render_sequence(gt, cfg)
-    print(json.dumps({"stage": "render", "frames": n,
+    print(json.dumps({"stage": "render", "frames": len(frames),
                       "size": [cfg.height, cfg.width],
+                      "degradations": "noise+blur+vignette",
                       "sec": round(time.perf_counter() - t0, 2)}))
-    vocfg = slam.VOConfig(max_keypoints=512, camera=cfg.camera())
+    vocfg = slam.VOConfig(
+        max_keypoints=512, camera=cfg.camera(),
+        # loop-closure tuning for a circuit of this length: tight ratio
+        # gate, far-revisit SE(3) edges only, moderate edge weight (the
+        # scale-drift solve uses every accepted loop regardless)
+        loop_ratio_mad_max=0.15, loop_edge_weight=0.3,
+        loop_edge_min_gap=(3 * len(frames)) // 4,
+    )
+    traj = np.linalg.norm(np.diff(gt[:, :3, 3], axis=0), axis=1).sum()
+
     t0 = time.perf_counter()
     mets = []
     est = slam.run_vo_images(frames, vocfg, metrics=mets)
     ate = slam.evaluate_ate(est, gt)
-    traj = np.linalg.norm(np.diff(gt[:, :3, 3], axis=0), axis=1).sum()
     print(json.dumps({
         "stage": "vo_images", "ate": round(ate, 5),
         "trajectory_len": round(traj, 3),
         "ate_pct_of_trajectory": round(100 * ate / traj, 2),
         "mean_pair_inliers": int(np.mean([m["inliers"] for m in mets])),
         "sec": round(time.perf_counter() - t0, 2),
+    }))
+
+    t0 = time.perf_counter()
+    mets_lc = []
+    est_lc = slam.run_vo_images(frames, vocfg, loop_closure_gap=10,
+                                metrics=mets_lc)
+    ate_lc = slam.evaluate_ate(est_lc, gt)
+    n_loops = sum(1 for m in mets_lc if m.get("loop_closure"))
+    print(json.dumps({
+        "stage": "vo_loop_closure", "ate": round(ate_lc, 5),
+        "ate_pct_of_trajectory": round(100 * ate_lc / traj, 2),
+        "loop_edges": n_loops,
+        "sec": round(time.perf_counter() - t0, 2),
+    }))
+
+    t0 = time.perf_counter()
+    est_ba = slam.run_vo_images(frames, vocfg, loop_closure_gap=10,
+                                ba_refine=True)
+    ate_ba = slam.evaluate_ate(est_ba, gt)
+    print(json.dumps({
+        "stage": "vo_ba_refined", "ate": round(ate_ba, 5),
+        "ate_pct_of_trajectory": round(100 * ate_ba / traj, 2),
+        "sec": round(time.perf_counter() - t0, 2),
+    }))
+    print(json.dumps({
+        "stage": "summary", "ate_odometry": round(ate, 5),
+        "ate_with_loop_closure": round(ate_lc, 5),
+        "ate_with_ba": round(ate_ba, 5),
     }))
     return 0
 
