@@ -9,9 +9,15 @@ the golden keypoint counts on the committed frame via the public API.
 
 Prints one JSON line: {"ok": bool, "configs": N, "failures": [...]}.
 
-Usage:  timeout 900 python tools/tpu_acceptance.py
+Usage:  timeout 1800 python tools/tpu_acceptance.py [--artifact PATH]
 (first run compiles ~50 programs through the relay; the persistent compile
 cache makes reruns fast.)
+
+``--artifact PATH`` additionally writes the full record — git commit,
+frame, per-config results, golden counts — as JSON.  CLAUDE.md's rule:
+run this after ANY kernel or descriptor change and COMMIT the artifact
+(ACCEPTANCE_rNN.json) with the change, so acceptance claims are
+auditable instead of living in code comments (VERDICT r2 #6).
 """
 
 from __future__ import annotations
@@ -42,10 +48,18 @@ GOLDEN = {  # committed 300x200 frame, t=16 n=9 (tests/test_golden.py)
 
 
 def main() -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--artifact", metavar="PATH", default=None,
+                    help="write the full acceptance record as JSON")
+    args = ap.parse_args()
+
     if jax.default_backend() != "tpu":
         print(json.dumps({"ok": False, "configs": 0,
                           "failures": ["not running on TPU"]}))
         return 1
+    passed = []
 
     from bench import build_1080p_frame
 
@@ -79,6 +93,7 @@ def main() -> int:
                 )(im, count, mode)
                 np.testing.assert_array_equal(
                     np.asarray(words)[:, :wpw].reshape(-1), np.asarray(ref_bits))
+                passed.append(tag)
                 print(f"{tag}: bit-exact (dense + packed words)",
                       file=sys.stderr, flush=True)
             except Exception as e:  # noqa: BLE001 — harness records and moves on
@@ -116,11 +131,40 @@ def main() -> int:
 
     small = load_luma8(os.path.join(os.path.dirname(__file__), "..", "media",
                                     "Screenshot315_torch_grey.png"))
+    goldens = {}
     for mode, want in GOLDEN.items():
         got = len(detect_arrays(small, Config(16, 9, mode)))
+        goldens[mode.name] = {"got": got, "want": want}
         if got != want:
             failures.append(f"golden {mode.name}: {got} != {want}")
         print(f"golden {mode.name}: {got} (want {want})", file=sys.stderr)
+
+    if args.artifact:
+        import subprocess
+        import time as _time
+
+        try:
+            head = subprocess.run(
+                ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout.strip()
+        except Exception:  # noqa: BLE001
+            head = "unknown"
+        record = {
+            "ok": not failures,
+            "timestamp": _time.strftime("%Y-%m-%dT%H:%M:%SZ", _time.gmtime()),
+            "git_head": head,
+            "device": str(jax.devices()[0]),
+            "frame": os.environ.get("INPUT_FILE", "media/golden_1080p.png"),
+            "configs_run": n_cfg,
+            "configs_passed": passed,
+            "brief_checked": True,
+            "goldens": goldens,
+            "failures": failures,
+        }
+        with open(args.artifact, "w") as f:
+            json.dump(record, f, indent=1)
+        print(f"artifact written: {args.artifact}", file=sys.stderr)
 
     print(json.dumps({"ok": not failures, "configs": n_cfg,
                       "failures": failures}))
