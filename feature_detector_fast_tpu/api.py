@@ -106,10 +106,19 @@ def _detect_compact(image, threshold: int, count: int, nonmax: NonmaxMode,
                 image, threshold, count, nonmax, False
             )
             wpw = fast_pallas.padded_width(image.shape[1]) // 32
+            # Rows >= H are interior-masked to zero in-kernel; drop them
+            # before superword selection — the 128-row tile padding can
+            # add up to 127 all-zero rows (1080 -> 1152, ~6% of the
+            # top_k key set).  Safe at any slice length: superwords are
+            # formed from the flat word stream, so kept superword
+            # indices/bits are unchanged and a partially-sliced trailing
+            # superword re-pads with the same zeros it lost.
+            words = jax.lax.slice_in_dim(words, 0, image.shape[0], axis=0)
             return compact.compact_packed_supers(words, wpw, max_supers)
         mask, _ = fast_pallas.detect_dense_padded(
             image, threshold, count, nonmax, False
         )
+        mask = jax.lax.slice_in_dim(mask, 0, image.shape[0], axis=0)
     else:
         mask, _ = fast.detect_dense(image, threshold, count, nonmax)
     return compact.compact_mask_supers(mask, max_supers)

@@ -41,7 +41,21 @@ from ..geometry import NORTH as NORTH_I, EAST as EAST_I, SOUTH as SOUTH_I, \
     WEST as WEST_I
 from . import windows
 
-TILE_H = 64
+#: Row-tile height of the whole-image entry points.  128 measured
+#: fastest for every mode on the dense golden_1080p frame (round 3,
+#: tools/exp_r3_variants.py: OFF 0.1200 -> 0.1183, MT 0.1853 -> 0.1829,
+#: SA 0.1865 -> 0.1782 ms/frame vs 64-row tiles): fewer per-tile
+#: window-build/DMA boundaries outweigh the coarser prefilter
+#: tile-skip granularity and the extra height padding.
+TILE_H = 128
+#: Row-tile height of the SHARDED entry points (detect_dense_tiles /
+#: detect_words_tiles).  Stays at 64: it is also the spatial-sharding
+#: granularity (parallel/spatial.py pads to n_devices * TILE_H_SHARD
+#: rows and exchanges one-tile halo slabs), where 128 would double the
+#: padding waste at 1080p on 8 shards; semantics are tile-size
+#: independent (bit-exactness across tile sizes is pinned by
+#: tools/exp_r3_variants.py on hardware and tests/test_pallas.py on CPU).
+TILE_H_SHARD = 64
 LANES = 128
 # Mosaic scoped-VMEM budget per kernel program.  The default (16 MB) is a
 # compiler heuristic, not the hardware bound — v5e has 128 MB of physical
@@ -54,18 +68,18 @@ LANES = 128
 _VMEM_LIMIT = 96 * 1024 * 1024
 # Window rows around a tile: nonmax halo (1) + circle radius (3).
 _HALO = RADIUS + 1  # 4
-# 64-row tiles for every mode and count: big enough to amortize per-tile
-# halo/DMA/grid overhead, small enough that the whole-tile prefilter skip
-# (see _window_prefilter) keeps its granularity — 128-row tiles compile
-# under the raised VMEM budget but measure ~4% SLOWER on the benchmark
-# frame because flat regions skip at half the resolution.  VMEM notes:
-# the arc test is a single packed-bit plane (_packed_any_window_all), not
-# a 16-plane boolean pyramid, and taps are consumed streaming in
-# _tile_keypoints (keeping the 16 tap planes live alongside MaxThreshold's
-# 16 diff planes used to OOM even 32-row MT tiles for several counts).
-# All choices verified bit-exact on v5e for every mode and count in 9..=16
-# (tools/tpu_acceptance.py).  Outputs are uint16 because the 8-bit
-# min-tile is (32, 128).
+# Tile-height history: 64 rows won on the round-1 SPARSE bench frame
+# (finer prefilter-skip granularity beat per-tile overhead, 128 was ~4%
+# slower there); on the round-2+ dense golden_1080p frame where the
+# skip almost never fires, 128 wins for every mode (see TILE_H above)
+# and 96 sits between both paddings' costs (0.1210 — a measured dead
+# end).  VMEM notes: the arc test is a single packed-bit plane
+# (_packed_any_window_all), not a 16-plane boolean pyramid, and taps
+# are consumed streaming in _tile_keypoints (keeping the 16 tap planes
+# live alongside MaxThreshold's 16 diff planes used to OOM even 32-row
+# MT tiles for several counts).  All choices verified bit-exact on v5e
+# for every mode and count in 9..=16 (tools/tpu_acceptance.py).
+# Outputs are uint16 because the 8-bit min-tile is (32, 128).
 
 
 def _i32c(v: int) -> int:
@@ -119,6 +133,32 @@ _FF = 0x00010001
 #: see the dtype note in _tile_keypoints.
 _MT_PYRAMID_DTYPE = jnp.float32
 
+#: Element dtype of the MaxThreshold halo window (and therefore of the
+#: prefilter compares and the 16 diff subtracts).  Building the window in
+#: f32 directly removes the 16 per-diff i32->f32 casts the pyramid dtype
+#: otherwise costs.  Pixels (<= 255), thresholds (<= 255), and diffs
+#: (in [-255, 255]) are all exactly representable in f32, and every
+#: operation on them (compare, subtract, min/max, abs) is exact, so this
+#: is a pure throughput knob — bit-exactness unchanged
+#: (tools/tpu_acceptance.py).
+_MT_WINDOW_DTYPE = jnp.float32
+
+#: Roll only the row span each distinct column shift actually feeds
+#: (see _RolledWindow) instead of the full halo window.  Measured on v5e
+#: (tools/exp_r3_variants.py, golden_1080p): OFF 0.1223 -> 0.1186
+#: ms/frame; flag kept for A/B tooling.
+_SLICED_ROLLS = True
+
+#: Separable 3x3 neighbor max in _nonmax_select (4 rolls + 4 maxes
+#: instead of 8 + 8); exact — max is associative and commutative.
+#: Measured on v5e: MT 0.2325 -> 0.1857 ms/frame, SA 0.2050 -> 0.1890
+#: (tools/exp_r3_variants.py); flag kept for A/B tooling.
+_SEP_NONMAX = True
+
+#: dy span of the circle taps per |dx| (cardinals included): the row
+#: range a column-rolled window must cover, for _SLICED_ROLLS.
+_DX_DY_SPAN = {1: (-3, 3), 2: (-2, 2), 3: (-1, 1)}
+
 
 def _bit9_to_k(v: jax.Array, k: int) -> jax.Array:
     """Move bit 9 of each 16-bit field of ``v`` to bit ``k`` of that field,
@@ -152,17 +192,36 @@ class _RolledWindow:
     most expensive VPU ops in this kernel).  Rolls are created lazily, so
     a prefilter-skipped tile pays only for the +-3 rolls the cardinal
     check needs; roll-then-slice equals slice-then-roll (the roll axis is
-    independent of rows), keeping semantics identical."""
+    independent of rows), keeping semantics identical.
 
-    def __init__(self, window: jax.Array):
-        self._rolled = {0: window}
+    With ``sliced`` (the _SLICED_ROLLS default for the SWAR pixel-pair
+    windows), each dx's roll runs on just the row span its taps can
+    touch (_DX_DY_SPAN) — the permute is the expensive part, so rolling
+    fewer rows is a direct saving; slice-then-roll still equals
+    roll-then-slice.  The MaxThreshold window passes sliced=False: its
+    tap spans cover nearly the whole window, so slicing saves almost no
+    permute rows but introduces misaligned sublane slices (measured +6%:
+    0.1853 -> 0.1964 ms/frame, tools/exp_r3_variants.py)."""
+
+    def __init__(self, window: jax.Array, sliced: bool = False):
+        self._window = window
+        self._rolled = {0: (0, window)}
+        self._sliced = bool(sliced)
 
     def tap(self, dx: int, dy: int, rows: int, row0: int) -> jax.Array:
         if dx not in self._rolled:
-            self._rolled[dx] = _roll_cols(self._rolled[0], dx)
-        return jax.lax.slice_in_dim(
-            self._rolled[dx], row0 + dy, row0 + dy + rows, axis=0
-        )
+            lo = 0
+            src = self._window
+            if self._sliced and abs(dx) in _DX_DY_SPAN:
+                dmin, dmax = _DX_DY_SPAN[abs(dx)]
+                lo = max(row0 + dmin, 0)
+                hi = min(row0 + dmax + rows, src.shape[0])
+                src = jax.lax.slice_in_dim(src, lo, hi, axis=0)
+            self._rolled[dx] = (lo, _roll_cols(src, dx))
+        lo, plane = self._rolled[dx]
+        start = row0 + dy - lo
+        assert 0 <= start and start + rows <= plane.shape[0], (dx, dy)
+        return jax.lax.slice_in_dim(plane, start, start + rows, axis=0)
 
 
 def _swar_window_prefilter(img_prev, img_cur, img_next, *, threshold: int,
@@ -211,7 +270,7 @@ def _swar_window_prefilter(img_prev, img_cur, img_next, *, threshold: int,
     lo = jax.lax.slice_in_dim(w8, base, base + n, axis=0)
     hi = jax.lax.slice_in_dim(w8, base + half, base + half + n, axis=0)
     pw = lo.astype(jnp.int32) | (hi.astype(jnp.int32) << 16)
-    rw = _RolledWindow(pw)
+    rw = _RolledWindow(pw, sliced=_SLICED_ROLLS)
     cpw = jax.lax.slice_in_dim(pw, RADIUS, RADIUS + half, axis=0)
     hb = (511 - t) * _FF - cpw  # 511 - c - t per field
     cw = cpw + (511 - t) * _FF  # c + 511 - t per field
@@ -329,13 +388,25 @@ def _nonmax_select(kp, score, gy, *, rows: int, tile_h: int, height: int):
     Returns (keep, score) sliced to the tile's central tile_h rows."""
     wp = kp.shape[1]
     s = jnp.where(kp, score, 0)
-    neigh = jnp.full((rows, wp), -1, jnp.int32)
-    for dy in (-1, 0, 1):
-        base = s if dy == 0 else pltpu.roll(s, (-dy) % rows, axis=0)
-        for dx in (-1, 0, 1):
-            if dy == 0 and dx == 0:
-                continue
-            neigh = jnp.maximum(neigh, _roll_cols(base, dx))
+    if _SEP_NONMAX:
+        # Separable 8-neighbor max: Hc = max of the two horizontal
+        # neighbors, H3 = horizontal 3-max; the rows above/below
+        # contribute their H3 and the center row its Hc — 4 rolls +
+        # 4 maxes instead of 8 + 8.  Max is associative/commutative on
+        # exact values, so the result is identical element-wise.
+        hc = jnp.maximum(_roll_cols(s, -1), _roll_cols(s, 1))
+        h3 = jnp.maximum(hc, s)
+        above = pltpu.roll(h3, 1, axis=0)
+        below = pltpu.roll(h3, rows - 1, axis=0)
+        neigh = jnp.maximum(jnp.maximum(above, below), hc)
+    else:
+        neigh = jnp.full((rows, wp), -1, jnp.int32).astype(s.dtype)
+        for dy in (-1, 0, 1):
+            base = s if dy == 0 else pltpu.roll(s, (-dy) % rows, axis=0)
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                neigh = jnp.maximum(neigh, _roll_cols(base, dx))
     keep = kp & (s > neigh) & (gy != RADIUS) & (gy != height - RADIUS - 1)
     return (
         jax.lax.slice_in_dim(keep, 1, 1 + tile_h, axis=0),
@@ -349,7 +420,9 @@ def _window_prefilter(img_prev, img_cur, img_next, *, threshold: int,
     _swar_window_prefilter): build the halo window and run the cardinal
     prefilter.  Returns (rw, rows, row0, center, tile_has_candidates),
     where ``rw`` is the roll-sharing tap factory (_RolledWindow)."""
-    # (tile_h + 8)-row window around this tile, int32.
+    # (tile_h + 8)-row window around this tile, in _MT_WINDOW_DTYPE (f32:
+    # u8 pixels are exact, and widening once here removes the 16 per-diff
+    # casts the pyramid dtype otherwise needs in _tile_keypoints).
     window = jnp.concatenate(
         [
             img_prev[tile_h - _HALO :, :],
@@ -357,7 +430,9 @@ def _window_prefilter(img_prev, img_cur, img_next, *, threshold: int,
             img_next[:_HALO, :],
         ],
         axis=0,
-    ).astype(jnp.int32)
+    ).astype(jnp.int32)  # Mosaic has no direct u8->f32 vector cast
+    if _MT_WINDOW_DTYPE is not jnp.int32:
+        window = window.astype(_MT_WINDOW_DTYPE)
 
     # Rows for which we compute candidacy/scores: tile rows +-1 (nonmax
     # halo).
@@ -459,6 +534,10 @@ def _kernel(img_prev, img_cur, img_next, mask_out, score_out=None, *, mode: Nonm
         keep, s = tile_body()
         mask_out[:, :] = keep.astype(jnp.uint16)
         if mode is not NonmaxMode.OFF:
+            if jnp.issubdtype(s.dtype, jnp.floating):
+                # Mosaic has no direct f32->u16 vector cast; the values
+                # are exact integers in [0, 4080], so an i32 hop is exact.
+                s = s.astype(jnp.int32)
             score_out[:, :] = s.astype(jnp.uint16)
 
 
@@ -510,14 +589,14 @@ def _tile_keypoints(rw, center, *, i, rows, row0,
     diffs = []
     for dx, dy in CIRCLE:
         d = center - rw.tap(dx, dy, rows, row0)
-        if _MT_PYRAMID_DTYPE is not jnp.int32:
+        if d.dtype != _MT_PYRAMID_DTYPE:
             d = d.astype(_MT_PYRAMID_DTYPE)
         diffs.append(d)
     eh = windows.ring_max_of_window_min(diffs, count, jnp.minimum, jnp.maximum)
     el = windows.ring_min_of_window_max(diffs, count, jnp.minimum, jnp.maximum)
-    if _MT_PYRAMID_DTYPE is not jnp.int32:
-        eh = eh.astype(jnp.int32)
-        el = el.astype(jnp.int32)
+    # Compares and score stay in the pyramid dtype (exact on integer
+    # values in [-255, 255]); the score plane is cast to u16 only at the
+    # kernel's output write.
     arc_hit = (eh > t) | (el < -t)
 
     # Interior mask: global x in [3, W-4], y in [3, H-4].
@@ -632,8 +711,8 @@ def detect_dense_tiles(
     """Fused detection over one ROW SHARD of a spatially-sharded image
     (parallel/spatial.py).
 
-    ``ext_img``: (rows_local + 2*TILE_H, wp) u8 — the shard's rows
-    bracketed by its neighbors' adjacent TILE_H-row halo tiles (exchanged
+    ``ext_img``: (rows_local + 2*TILE_H_SHARD, wp) u8 — the shard's rows
+    bracketed by its neighbors' adjacent TILE_H_SHARD-row halo tiles (exchanged
     with ppermute).  ``tile0``: traced global tile index of the shard's
     first local tile.  ``height``/``width``: the GLOBAL unpadded image
     size — all border quirks are evaluated in global coordinates, so each
@@ -645,7 +724,7 @@ def detect_dense_tiles(
     grid.  Returns (mask u16, score u16) of shape (rows_local, wp)."""
     nonmax = NonmaxMode(nonmax)
     threshold = _check_threshold(threshold)
-    tile_h = TILE_H
+    tile_h = TILE_H_SHARD
     rows_ext, wp = ext_img.shape
     rows_local = rows_ext - 2 * tile_h
     assert rows_local % tile_h == 0 and rows_local > 0, rows_ext
@@ -822,7 +901,7 @@ def detect_words_tiles(
     image (parallel/spatial.py): `detect_words_padded`'s emission with
     `detect_dense_tiles`' halo/global-coordinate contract.
 
-    ``ext_img``: (rows_local + 2*TILE_H, wp) u8 shard rows bracketed by the
+    ``ext_img``: (rows_local + 2*TILE_H_SHARD, wp) u8 shard rows bracketed by the
     neighbors' halo tiles; ``tile0``: traced global tile index of the
     shard's first local tile.  Returns (rows_local, _WORD_LANES) i32 packed
     keypoint words, bit-identical to the corresponding row block of
@@ -830,7 +909,7 @@ def detect_words_tiles(
     GLOBAL coordinates via the SMEM offset)."""
     nonmax = NonmaxMode(nonmax)
     threshold = _check_threshold(threshold)
-    tile_h = TILE_H
+    tile_h = TILE_H_SHARD
     rows_ext, wp = ext_img.shape
     rows_local = rows_ext - 2 * tile_h
     assert rows_local % tile_h == 0 and rows_local > 0, rows_ext

@@ -37,7 +37,7 @@ from ..config import NonmaxMode
 from ..ops import compact, fast_pallas
 from . import mesh as meshlib
 
-TILE_H = fast_pallas.TILE_H
+TILE_H = fast_pallas.TILE_H_SHARD
 
 
 def _pad_to(x: int, m: int) -> int:
