@@ -133,3 +133,47 @@ def test_threshold_contract(rng):
     for t in (0, 255):
         assert_same(img, t, 9, NonmaxMode.OFF)
         assert_same(img, t, 9, NonmaxMode.SUM_ABSOLUTE)
+
+
+@pytest.mark.parametrize(
+    "flags",
+    [
+        {"_SEP_NONMAX": False},
+        {"_SLICED_ROLLS": False},
+        {"_MT_WINDOW_DTYPE": np.int32},
+        {"_SEP_NONMAX": False, "_SLICED_ROLLS": False,
+         "_MT_WINDOW_DTYPE": np.int32},
+    ],
+    ids=lambda f: "+".join(sorted(f)),
+)
+def test_pallas_tuning_flags_are_semantics_free(rng, flags):
+    """The round-3 throughput knobs (separable nonmax, sliced rolls, f32
+    MT window) gate bit-identical alternatives: BOTH branches of each flag
+    must match the XLA dense reference.  The defaults are exercised by
+    every other test in this file; this pins the non-default branches so
+    future refactors cannot silently couple semantics to a knob."""
+    import jax.numpy as jnp
+
+    resolved = {
+        k: (jnp.int32 if v is np.int32 else v) for k, v in flags.items()
+    }
+    saved = {k: getattr(fast_pallas, k) for k in resolved}
+    for k, v in resolved.items():
+        setattr(fast_pallas, k, v)
+    try:
+        img = rng.integers(0, 256, (70, 150), np.uint8)
+        for threshold, count, nonmax in CONFIGS[:3]:
+            m1, s1 = fast.detect_dense(img, threshold, count, nonmax)
+            # Bypass detect_dense_pallas' jit wrapper: a cached trace
+            # would NOT see the flag flip (flags are read at trace time).
+            m2, s2 = fast_pallas.detect_dense_pallas.__wrapped__(
+                img, threshold, count, nonmax, True
+            )
+            np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+            np.testing.assert_array_equal(
+                np.asarray(s1).astype(np.int32),
+                np.asarray(s2).astype(np.int32),
+            )
+    finally:
+        for k, v in saved.items():
+            setattr(fast_pallas, k, v)
