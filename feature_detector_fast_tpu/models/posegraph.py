@@ -139,10 +139,14 @@ def optimize(
         poses, lam = carry
         gg = g._replace(poses=poses)
         if robust_delta > 0.0:
+            # One edge_residuals evaluation serves both the IRLS weights
+            # and the current robust cost (gg still carries g's original
+            # weights here, so this equals robust_cost(poses) exactly).
             r_cur = edge_residuals(poses, gg)
             rho2 = jnp.sum(r_cur * r_cur, axis=-1)
             d2 = robust_delta * robust_delta
             s = d2 / (d2 + rho2)
+            r2_cur = jnp.sum(d2 * rho2 / (d2 + rho2))
             gg = gg._replace(edge_weight=g.edge_weight * s)
         if solver == "dense":
             # Forward-mode Jacobian + explicit JtJ.  NOT vjp: reverse-mode
@@ -161,7 +165,7 @@ def optimize(
             jtj_v, jtr, r2 = _normal_system(gg)
             delta = -_cg(jtj_v, jtr, cg_iters, lam)
         if robust_delta > 0.0:
-            r2 = robust_cost(poses)
+            r2 = r2_cur
         delta = delta.at[0].set(0.0)
         delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
         new_poses = lie.se3_exp(delta) @ poses

@@ -52,10 +52,13 @@ class VOConfig:
     ransac_hypotheses: int = 256
     ransac_threshold: float = 1e-4
     pose_graph_iters: int = 10
-    #: Huber saturation (se3-log units) for pose-graph edges when loop
+    #: Geman-McClure scale (se3-log units) for pose-graph edges when loop
     #: closures are present: image-level loop hypotheses can be
     #: confidently wrong (a degenerate RANSAC model with many inliers),
-    #: so their influence must saturate instead of tearing the chain.
+    #: so their influence must REDESCEND toward zero past this residual
+    #: norm instead of tearing the chain (a Huber kernel — constant
+    #: influence past delta — measurably still lets one gross outlier
+    #: edge drag a consistent chain; see posegraph.optimize).
     loop_robust_delta: float = 0.25
     #: Pose-graph iterations when loop closures are present (adaptive-LM
     #: retries consume iterations; loop graphs need more than chains).
@@ -341,11 +344,22 @@ def run_vo_matches(
                 continue
             r_i = float(np.exp(np.median(lr)))
             # Relative drift observation r_i/r_j needs frame-j chain
-            # depths linked through the loop's idx_b.
+            # depths linked through the loop's REAL idx_b.  A 5-tuple
+            # loop entry has no idx_b — _as_pair_batch fabricates an
+            # identity mapping for it, which would pair unrelated
+            # keypoint slots here, so the drift observation is skipped
+            # for such entries (the loop still contributes its SE(3)
+            # edge and r_i scale below).  Slots whose idx_b lies beyond
+            # the main batch's capacity (a truncated wider loop pair)
+            # are masked out rather than clipped onto slot k_cap-1,
+            # which holds an unrelated keypoint's depth.
             seg_j = log_drift = None
             lidx = lbatch.idx_b[li]
             tbl_j, seg = chain_depth_table(j)
-            m2 = lest.inl[li] & (lidx >= 0) & (lest.depths_b[li] > 1e-6)
+            m2 = (lest.inl[li] & (lidx >= 0) & (lidx < k_cap)
+                  & (lest.depths_b[li] > 1e-6))
+            if len(entry) <= 5:
+                m2 = np.zeros_like(m2)
             d_chain_j = np.where(m2, tbl_j[np.clip(lidx, 0, k_cap - 1)],
                                  np.nan)
             ok2 = np.isfinite(d_chain_j) & m2
@@ -384,6 +398,18 @@ def run_vo_matches(
 
         for (i, j, li, r_i, seg_j, log_drift) in accepted:
             if j - i < config.loop_edge_min_gap:
+                # No SE(3) edge, but the pair's drift observation (if
+                # any) already entered solve_scale_drift above and may
+                # have reshaped the whole chain — record it so the
+                # metrics stream explains every applied correction.
+                if metrics is not None:
+                    metrics.append({
+                        "pair": (i, j), "loop_closure": True,
+                        "edge_added": False,
+                        "matches": int(lbatch.valid[li].sum()),
+                        "inliers": int(lest.inl[li].sum()),
+                        "log_drift": log_drift,
+                    })
                 continue
             s_loop = r_i / c[i]
             Tji = np.eye(4)
@@ -396,6 +422,7 @@ def run_vo_matches(
             if metrics is not None:
                 metrics.append({
                     "pair": (i, j), "loop_closure": True,
+                    "edge_added": True,
                     "matches": int(lbatch.valid[li].sum()),
                     "inliers": int(lest.inl[li].sum()), "scale": s_loop,
                     "log_drift": log_drift,

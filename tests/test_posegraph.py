@@ -135,7 +135,7 @@ def test_solve_scale_drift_recovers_random_walk(rng):
 
 
 def test_optimize_robust_rejects_outlier_edge(rng):
-    """Huber IRLS: one wildly wrong loop edge must not tear a consistent
+    """Geman-McClure IRLS: one wildly wrong loop edge must not tear a consistent
     chain apart (non-robust optimization visibly distorts it)."""
     import jax.numpy as jnp
 
