@@ -120,6 +120,11 @@ def bench_config(batch_np, config, cap) -> tuple:
     kps = unpack_batch_packed(packed, cap, width)
     n_kp = len(kps[0])
     tight = tight_cap(n_supers, floor=1024)
+    if tight >= (3 * max_cap) // 4:
+        # Identity-layout regime (see api._grow_cap): at this density
+        # production lands on the full-grid cap, which skips the top_k
+        # partial sort entirely — measure the same regime.
+        tight = max_cap
     if tight != cap:
         cap = tight
         args = (int(config.threshold), int(config.count), config.nonmax, cap)

@@ -61,8 +61,16 @@ def tight_cap(n_supers: int, floor: int = 512) -> int:
 
 def _grow_cap(cap: int, n_supers: int, max_cap: int) -> int:
     """Overflow-retry cap growth: at least double, at least tight_cap
-    headroom over the true superword count, clamped to the grid bound."""
-    return min(max(-(-cap * 2 // 512) * 512, tight_cap(n_supers)), max_cap)
+    headroom over the true superword count, clamped to the grid bound.
+
+    When the grown cap already covers >= 3/4 of the grid, jump straight
+    to the grid bound: at that density the top_k partial sort is
+    selecting nearly everything, and ops.compact's full-cap identity
+    layout (no sort, no gather) is the cheaper encoding."""
+    new = min(max(-(-cap * 2 // 512) * 512, tight_cap(n_supers)), max_cap)
+    if new >= (3 * max_cap) // 4:
+        new = max_cap
+    return new
 
 
 def effective_width(w: int) -> int:

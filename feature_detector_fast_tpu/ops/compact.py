@@ -17,6 +17,14 @@ is hierarchical, exploiting keypoint sparsity (~0.5-1% of pixels):
      lowers to by ~2x at 1080p word counts,
   3. gather the selected superwords' word-bit rows whole.
 
+On DENSE frames the selection inverts: when the cap covers the whole
+superword grid (api._grow_cap jumps there once the right-sized cap hits
+3/4 of it), `_select_nonzero_supers` emits the identity superword
+layout instead — no sort, no gather — which measured 0.044 ms/frame
+cheaper than the near-full top_k on the 69%-nonzero golden_1080p OFF
+config (tools/exp_compact_identity.py, round 3).  Sparse configs (cap
+well under the grid) keep the top_k path and its small readback buffer.
+
 The (superword-index, word-bits-row) pairs are a complete, ordered sparse
 encoding (~72 KB/frame at the default cap); expanding to flat pixel
 indices is a trivial bit loop done on the host (runtime/native.py, numpy
@@ -119,13 +127,29 @@ def _select_nonzero_supers(
     rows = bits.reshape(ns, SUPER_SPAN)
     nz = jnp.any(rows != 0, axis=1)
     n_supers = jnp.sum(nz, dtype=jnp.int32)
+    if int(max_supers) >= ns:
+        # The cap covers the whole grid, so selection cannot shrink the
+        # result — emit the identity superword layout instead: ascending
+        # by construction, zero superwords marked with the ns padding
+        # sentinel and zero bits (every decoder skips zero-bit words, so
+        # interleaved padding is a valid encoding).  This skips the
+        # top_k partial sort AND the row gather — on dense frames whose
+        # right-sized cap approaches the grid size (the 1080p golden
+        # frame's OFF config has ~70% nonzero superwords), top_k is
+        # selecting almost everything and is pure overhead.
+        idx = jnp.arange(ns, dtype=jnp.int32)
+        sidx = jnp.where(nz, idx, ns)
+        sbits = rows  # a zero superword's row is already all-zero
+        if int(max_supers) > ns:
+            pad_n = int(max_supers) - ns
+            sidx = jnp.concatenate([sidx, jnp.full((pad_n,), ns, jnp.int32)])
+            sbits = jnp.concatenate(
+                [sbits, jnp.zeros((pad_n, SUPER_SPAN), sbits.dtype)])
+        return sidx, sbits, n_supers
     key = jnp.where(nz, ns - 1 - jnp.arange(ns, dtype=jnp.int32), -1)
-    k_eff = min(int(max_supers), ns)
+    k_eff = int(max_supers)
     topv, topi = jax.lax.top_k(key, k_eff)
     sidx = jnp.where(topv >= 0, topi, ns).astype(jnp.int32)
-    if k_eff < int(max_supers):
-        fill = jnp.full((int(max_supers) - k_eff,), ns, jnp.int32)
-        sidx = jnp.concatenate([sidx, fill])
     safe = jnp.minimum(sidx, ns - 1)
     sbits = jnp.where((sidx < ns)[:, None], rows[safe], 0)
     return sidx, sbits, n_supers

@@ -5,9 +5,10 @@ Times detect_words_padded (1080p golden frame, t=16 n=9, batch 64,
 all in ONE process (cross-process TPU timings jitter +-50%; in-process
 scans agree ~2%):
 
-  OFF:  sliced rolls / prefilter->body handoff / tile_h 96, 128
+  OFF:  sliced rolls / tile_h 96, 128   (--off)
   MT:   f32 halo window / separable nonmax / tile_h 128
-  SA:   separable nonmax / sliced+handoff combo
+  SA:   separable nonmax / sliced combo
+  --land: final landing-config confirmation (sepnm+sliced, 64 vs 128)
 
 Every variant is bit-exactness-checked on-device against its mode's
 baseline before timing (rows beyond the true image height are zero in
