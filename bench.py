@@ -96,7 +96,6 @@ def bench_config(batch_np, config, cap) -> tuple:
         _grow_cap,
         _max_super_cap,
         effective_width,
-        tight_cap,
         unpack_batch_packed,
     )
 
@@ -104,10 +103,13 @@ def bench_config(batch_np, config, cap) -> tuple:
 
     # Warmup: compile + one full round including transfers + host decode,
     # growing the cap if the frame overflows it — via the SAME
-    # api._grow_cap policy the production overflow retries use, so the
-    # bench measures the cap regime production lands in; then right-size
-    # the cap for the timed loops (api.tight_cap: ~12% headroom over the
-    # true superword count, 512-multiple).
+    # api._grow_cap policy the production overflow retries use.  The cap
+    # this loop lands on IS the cap production serving lands on for this
+    # frame (overflow-retry fixpoint from the same initial cap), so the
+    # timed loops below measure exactly the production cap regime —
+    # including the identity-layout jump _grow_cap makes on dense frames
+    # (ADVICE r3: a separate tight_cap mirror here measured a DIFFERENT
+    # regime than production for mid-density frames).
     dev_imgs = jax.device_put(batch_np)
     max_cap = _max_super_cap(*batch_np.shape[-2:])
     while True:
@@ -119,17 +121,6 @@ def bench_config(batch_np, config, cap) -> tuple:
         cap = _grow_cap(cap, n_supers, max_cap)
     kps = unpack_batch_packed(packed, cap, width)
     n_kp = len(kps[0])
-    tight = tight_cap(n_supers, floor=1024)
-    if tight >= (3 * max_cap) // 4:
-        # Identity-layout regime (see api._grow_cap): at this density
-        # production lands on the full-grid cap, which skips the top_k
-        # partial sort entirely — measure the same regime.
-        tight = max_cap
-    if tight != cap:
-        cap = tight
-        args = (int(config.threshold), int(config.count), config.nonmax, cap)
-        packed = np.asarray(_detect_compact_batch_packed(dev_imgs, *args))
-        assert int(packed[:, 1].max()) <= cap
 
     t0 = time.perf_counter()
     outs = [

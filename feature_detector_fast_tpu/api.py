@@ -42,11 +42,16 @@ def _max_super_cap(h: int, w: int) -> int:
     """Upper bound on nonzero superwords.  The Pallas path packs the
     lane-padded grid, where words align per padded row — up to one extra
     word per row vs flat true-grid packing — so the bound must use the
-    padded dimensions or pathological images could retry forever."""
+    padded WIDTH or pathological images could retry forever.  Height
+    stays TRUE: `_detect_compact` slices the word rows to the image
+    height before superword selection, so tile-padding rows can no
+    longer contribute words, and an inflated bound would both delay the
+    identity-layout jump in `_grow_cap` (its 3/4 test is relative to
+    this bound) and oversize readback buffers (ADVICE r3)."""
     if _use_pallas():
         from .ops import fast_pallas
 
-        h, w = fast_pallas.padded_height(h), fast_pallas.padded_width(w)
+        w = fast_pallas.padded_width(w)
     n_words = -(-h * w // compact.WORD_BITS)
     return -(-n_words // compact.SUPER_SPAN)
 

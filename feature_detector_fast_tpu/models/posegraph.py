@@ -145,6 +145,14 @@ def optimize(
             r_cur = edge_residuals(poses, gg)
             rho2 = jnp.sum(r_cur * r_cur, axis=-1)
             d2 = robust_delta * robust_delta
+            # NOTE: s is the CAUCHY/Lorentzian IRLS weight, not the GM
+            # weight (which would be s*s).  The step therefore descends
+            # the Cauchy kernel — gentler down-weighting — while
+            # ACCEPTANCE below still guards the monitored GM cost, so
+            # every accepted step strictly decreases the GM objective.
+            # (ADVICE r3: documented rather than squared — acceptance
+            # already guarantees monotone GM descent, and the gentler
+            # weight keeps more gradient on large-residual loop edges.)
             s = d2 / (d2 + rho2)
             r2_cur = jnp.sum(d2 * rho2 / (d2 + rho2))
             gg = gg._replace(edge_weight=g.edge_weight * s)

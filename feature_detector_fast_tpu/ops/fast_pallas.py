@@ -205,20 +205,27 @@ class _RolledWindow:
 
     def __init__(self, window: jax.Array, sliced: bool = False):
         self._window = window
-        self._rolled = {0: (0, window)}
+        self._rolled = {(0, 0, window.shape[0]): (0, window)}
         self._sliced = bool(sliced)
 
     def tap(self, dx: int, dy: int, rows: int, row0: int) -> jax.Array:
-        if dx not in self._rolled:
-            lo = 0
+        # Cache key includes the slice bounds: in sliced mode the bounds
+        # bake in (row0, rows), so a later tap for the same dx with a
+        # different row span gets its own roll instead of tripping the
+        # assert below (ADVICE r3 — today every mode uses one consistent
+        # span, so no duplicate rolls are actually created).
+        lo, hi = 0, self._window.shape[0]
+        if self._sliced and abs(dx) in _DX_DY_SPAN:
+            dmin, dmax = _DX_DY_SPAN[abs(dx)]
+            lo = max(row0 + dmin, 0)
+            hi = min(row0 + dmax + rows, self._window.shape[0])
+        key = (dx, lo, hi)
+        if key not in self._rolled:
             src = self._window
-            if self._sliced and abs(dx) in _DX_DY_SPAN:
-                dmin, dmax = _DX_DY_SPAN[abs(dx)]
-                lo = max(row0 + dmin, 0)
-                hi = min(row0 + dmax + rows, src.shape[0])
+            if (lo, hi) != (0, self._window.shape[0]):
                 src = jax.lax.slice_in_dim(src, lo, hi, axis=0)
-            self._rolled[dx] = (lo, _roll_cols(src, dx))
-        lo, plane = self._rolled[dx]
+            self._rolled[key] = (lo, _roll_cols(src, dx))
+        lo, plane = self._rolled[key]
         start = row0 + dy - lo
         assert 0 <= start and start + rows <= plane.shape[0], (dx, dy)
         return jax.lax.slice_in_dim(plane, start, start + rows, axis=0)

@@ -18,6 +18,14 @@ _DEFAULT_DIR = os.path.join(
 def enable(cache_dir: str | None = None) -> None:
     import jax
 
+    if os.environ.get("FDF_CPU"):
+        # Opt-out of the TPU attach for tools/benches (the sandbox's
+        # sitecustomize pins JAX_PLATFORMS to the remote TPU, so a plain
+        # env var cannot; jax.config wins before first backend use).
+        # Lets CPU smoke runs of demos/benches coexist with a live TPU
+        # job — two attached TPU processes contend on the relay and both
+        # crawl (CLAUDE.md).
+        jax.config.update("jax_platforms", "cpu")
     path = cache_dir or os.environ.get("FDF_XLA_CACHE", _DEFAULT_DIR)
     os.makedirs(path, exist_ok=True)
     try:

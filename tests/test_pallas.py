@@ -105,8 +105,12 @@ def test_packed_words_kernel_matches_dense_pack(rng, cfg):
 
 def test_padded_dims_and_super_cap_bound():
     """The pallas-branch superword-cap bound (api._max_super_cap) must be
-    computable and cover the padded grid — this path only runs on TPU in
-    production, so exercise it here with the backend check mocked."""
+    computable and EXACTLY cover the sliced word grid: true image height
+    (api._detect_compact slices word rows to it before superword
+    selection) x lane-padded width (words align per padded row).  ADVICE
+    r3: a padded-HEIGHT bound oversized caps/readback buffers and delayed
+    _grow_cap's identity-layout jump.  This path only runs on TPU in
+    production, so exercise it with the backend check mocked."""
     from unittest import mock
 
     from feature_detector_fast_tpu import api
@@ -117,7 +121,11 @@ def test_padded_dims_and_super_cap_bound():
     assert wp % fast_pallas.LANES == 0
     with mock.patch.object(api, "_use_pallas", lambda: True):
         cap = api._max_super_cap(1080, 1920)
-    assert cap >= hp * wp // 32 // compact.SUPER_SPAN
+    n_words_sliced = 1080 * (wp // 32)
+    assert cap == -(-n_words_sliced // compact.SUPER_SPAN)
+    # ... and still bounds any reachable superword count (sanity: the
+    # sliced grid is what compaction actually sees).
+    assert cap * compact.SUPER_SPAN >= n_words_sliced
 
 
 def test_threshold_contract(rng):

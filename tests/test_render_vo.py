@@ -191,6 +191,41 @@ def test_staged_loop_closure_and_ba_from_pixels():
     assert a2 < 0.03 * traj, (a2, traj)  # bounded final ATE
 
 
+def test_image_directory_demo(tmp_path, capsys):
+    """`run_slam_demo.py --images <dir>` (VERDICT r3 #6): a plain
+    directory of PNG frames — no poses, no calibration — runs the full
+    pipeline and prints per-pair metrics with ATE skipped.  Mixed sizes
+    are center-cropped to the common minimum."""
+    from PIL import Image
+
+    cfg = render.RenderConfig()
+    gt = render.demo_trajectory(5)
+    frames = render.render_sequence(gt, cfg)
+    for i, f in enumerate(frames):
+        if i == 2:  # one over-sized frame exercises the common-crop path
+            f = np.pad(f, ((0, 8), (0, 4)), mode="edge")
+        Image.fromarray(f).save(tmp_path / f"frame_{i:03d}.png")
+
+    spec = importlib.util.spec_from_file_location(
+        "run_slam_demo",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "run_slam_demo.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.demo_images(str(tmp_path), max_frames=5) == 0
+    records = [json.loads(line) for line in
+               capsys.readouterr().out.strip().splitlines()]
+    (load_rec,) = [r for r in records if r["stage"] == "load"]
+    assert load_rec["format"] == "images" and load_rec["frames"] == 5
+    assert load_rec["size"] == [cfg.height, cfg.width]  # cropped back
+    pairs = [r for r in records if r["stage"] == "pair"]
+    assert len(pairs) == 4
+    (vo,) = [r for r in records if r["stage"] == "vo_images"]
+    assert vo["ate"] is None and vo["mean_pair_inliers"] > 50
+    assert vo["trajectory_frames"] == 5
+
+
 def test_pyramid_matching_survives_scale_doubling():
     """Cross-scale front-end (VERDICT r2 #8): a 2x apparent-scale change
     (zoom pair — the scale component of fast forward motion, isolated)

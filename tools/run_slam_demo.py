@@ -8,7 +8,10 @@ Three modes (BASELINE.json config[3], SURVEY.md §7 step 5):
     the FULL pipeline (pixels -> FAST -> BRIEF -> match -> pose graph),
   * ``--sequence <path>`` — a real monocular dataset directory, TUM
     (rgb.txt/groundtruth.txt) or KITTI odometry (image_0/calib.txt),
-    autodetected; prints scale-aligned ATE when ground truth exists.
+    autodetected; prints scale-aligned ATE when ground truth exists,
+  * ``--images <dir>`` — any directory of PNG/JPEG frames (no poses, no
+    calibration): grayscale-converts, runs the full pipeline, prints
+    per-pair match/inlier metrics (ATE skipped).
 
 Prints one JSON record per stage.
 """
@@ -163,6 +166,60 @@ def demo_render(n: int) -> int:
     return 0
 
 
+def demo_images(path: str, max_frames: int) -> int:
+    """Plain image-directory mode (VERDICT r3 #6): glob PNG/JPEG frames,
+    grayscale-convert, run the full VO pipeline.  No poses are available,
+    so only per-pair front-end/geometry metrics are printed (ATE skipped);
+    the moment real calibrated frames appear, --sequence runs unmodified.
+
+    Frames of mixed sizes are center-cropped to the common minimum (the
+    batched front-end needs one static shape)."""
+    import glob
+
+    from feature_detector_fast_tpu.models import slam, twoview
+    from feature_detector_fast_tpu.utils import image as imglib
+
+    paths = sorted(
+        p for pat in ("*.png", "*.jpg", "*.jpeg", "*.PNG", "*.JPG")
+        for p in glob.glob(os.path.join(path, pat))
+    )[:max_frames]
+    if len(paths) < 2:
+        print(json.dumps({"error": "need >= 2 images", "path": path,
+                          "found": len(paths)}))
+        return 1
+    frames = [imglib.load_luma8(p) for p in paths]
+    h = min(f.shape[0] for f in frames)
+    w = min(f.shape[1] for f in frames)
+    frames = [
+        f[(f.shape[0] - h) // 2 : (f.shape[0] - h) // 2 + h,
+          (f.shape[1] - w) // 2 : (f.shape[1] - w) // 2 + w]
+        for f in frames
+    ]
+    print(json.dumps({"stage": "load", "format": "images",
+                      "frames": len(frames), "size": [h, w]}))
+    # No calibration: a generic pinhole from the image size (f ~ 0.9*w,
+    # principal point at center).  Good enough for relative pair metrics;
+    # absolute trajectory quality needs --sequence with real intrinsics.
+    cam = twoview.Camera(0.9 * w, 0.9 * w, w / 2.0, h / 2.0)
+    vocfg = slam.VOConfig(max_keypoints=1024, camera=cam)
+    t0 = time.perf_counter()
+    mets = []
+    est = slam.run_vo_images(frames, vocfg, metrics=mets)
+    pair_mets = [m for m in mets if not m.get("loop_closure")]
+    for m in pair_mets:
+        print(json.dumps({"stage": "pair", "pair": list(m["pair"]),
+                          "matches": m["matches"], "inliers": m["inliers"]}))
+    print(json.dumps({
+        "stage": "vo_images", "frames": len(frames),
+        "mean_pair_matches": int(np.mean([m["matches"] for m in pair_mets])),
+        "mean_pair_inliers": int(np.mean([m["inliers"] for m in pair_mets])),
+        "trajectory_frames": int(est.shape[0]),
+        "ate": None,
+        "sec": round(time.perf_counter() - t0, 2),
+    }))
+    return 0
+
+
 def demo_sequence(path: str, max_frames: int) -> int:
     from feature_detector_fast_tpu.models import slam, twoview
     from feature_detector_fast_tpu.utils import image as imglib
@@ -212,12 +269,17 @@ def main() -> int:
                          "pipeline")
     ap.add_argument("--sequence", metavar="PATH",
                     help="TUM or KITTI sequence directory")
+    ap.add_argument("--images", metavar="DIR",
+                    help="plain directory of PNG/JPEG frames (no poses: "
+                         "per-pair metrics only, ATE skipped)")
     ap.add_argument("--max-frames", type=int, default=30)
     args = ap.parse_args()
 
     from feature_detector_fast_tpu.utils import cache
 
     cache.enable()
+    if args.images:
+        return demo_images(args.images, args.max_frames)
     if args.sequence:
         return demo_sequence(args.sequence, args.max_frames)
     if args.render:
