@@ -202,15 +202,19 @@ def render_sequence(
 
 
 def loop_trajectory(n_frames: int, radius: float = 1.6,
-                    sway: float = 0.25) -> np.ndarray:
+                    sway: float = 0.25, laps: int = 1) -> np.ndarray:
     """Ground-truth world_T_cam circuit with a GENUINE revisit: the camera
     translates around a circle in the x-z plane (always facing roughly +z,
     with a small yaw wobble), so the last frames see the same walls as the
     first — image-level loop closure has real redundancy to find.  The
-    circle plus vertical sway gives parallax against every wall."""
+    circle plus vertical sway gives parallax against every wall.
+
+    ``laps`` > 1 traverses the circle several times: every circuit
+    position becomes a distinct revisit site seen once per lap (VERDICT
+    r3 #2 asks for >= 2 distinct revisit sites at evaluation scale)."""
     poses = []
     for k in range(n_frames):
-        th = 2.0 * np.pi * k / n_frames
+        th = 2.0 * np.pi * int(laps) * k / n_frames
         yaw = 0.12 * np.sin(th)
         c, s = np.cos(yaw), np.sin(yaw)
         T = np.eye(4)

@@ -60,9 +60,17 @@ def _residual_one(delta_c, delta_l, pose, X, uv):
     return project(T, X + delta_l) - uv
 
 
-def _jacobians(p: BAProblem):
+def _jacobians(p: BAProblem, robust_delta: float = 0.0):
     """Per-observation residuals r (O, 2) and Jacobians Jc (O, 2, 6),
-    Jl (O, 2, 3) at delta = 0, masked by validity."""
+    Jl (O, 2, 3) at delta = 0, masked by validity.
+
+    ``robust_delta`` > 0 applies Huber IRLS: residual and Jacobians are
+    scaled by sqrt(w) with w = min(1, delta/||r||), so the Gauss-Newton
+    normal equations become those of the Huber objective linearized at
+    the current weights.  Loop-closure tracks make outlier observations
+    structurally more likely (a wrong long-range link is one bad
+    correspondence among hundreds of good ones), and a single unmodeled
+    outlier measurably drags a whole camera in plain least squares."""
     poses_o = p.poses[p.obs_cam]
     pts_o = p.points[p.obs_lm]
     z6 = jnp.zeros(6, p.poses.dtype)
@@ -75,6 +83,13 @@ def _jacobians(p: BAProblem):
         return r, Jc, Jl
 
     r, Jc, Jl = jax.vmap(one)(poses_o, pts_o, p.obs_uv)
+    if robust_delta > 0.0:
+        rn = jnp.linalg.norm(r, axis=-1)
+        w = jnp.minimum(1.0, robust_delta / jnp.maximum(rn, 1e-12))
+        sw = jnp.sqrt(w)
+        r = r * sw[:, None]
+        Jc = Jc * sw[:, None, None]
+        Jl = Jl * sw[:, None, None]
     valid = p.obs_valid
     r = jnp.where(valid[:, None], r, 0.0)
     Jc = jnp.where(valid[:, None, None], Jc, 0.0)
@@ -98,8 +113,8 @@ class _System(NamedTuple):
     b_l: jax.Array  # (L, 3)  = Jl^T r per landmark
 
 
-def _build_system(p: BAProblem, damping) -> _System:
-    r, Jc, Jl = _jacobians(p)
+def _build_system(p: BAProblem, damping, robust_delta: float = 0.0) -> _System:
+    r, Jc, Jl = _jacobians(p, robust_delta)
     C = p.poses.shape[0]
     L = p.points.shape[0]
     Hll = _segment_sum(jnp.einsum("oij,oik->ojk", Jl, Jl), p.obs_lm, L)
@@ -160,7 +175,8 @@ def _cg(matvec, b, iters: int):
     return x
 
 
-def ba_step(p: BAProblem, damping, cg_iters: int, psum=None, psum_lm=None):
+def ba_step(p: BAProblem, damping, cg_iters: int, psum=None, psum_lm=None,
+            robust_delta: float = 0.0):
     """One damped Gauss-Newton step via Schur elimination.
 
     Returns (new_poses, new_points, cost_before).  With `psum`, the
@@ -168,9 +184,12 @@ def ba_step(p: BAProblem, damping, cg_iters: int, psum=None, psum_lm=None):
     the mesh (observations sharded; poses replicated).  `psum_lm` (defaults
     to `psum`) reduces landmark-side partials — pass a data-axis-only
     reduction when landmark state shards over a model axis.
+    ``robust_delta`` > 0 makes it a Huber-IRLS step (see _jacobians); the
+    returned cost is then the IRLS surrogate sum(w r^2), not the Huber
+    objective — use `total_cost(p, robust_delta)` to monitor the latter.
     """
     psum_lm = psum_lm or psum
-    sys = _build_system(p, damping)
+    sys = _build_system(p, damping, robust_delta)
     b_c = sys.b_c
     b_l = sys.b_l
     if psum is not None:
@@ -216,17 +235,39 @@ def ba_step(p: BAProblem, damping, cg_iters: int, psum=None, psum_lm=None):
     return new_poses, new_points, cost
 
 
-def total_cost(p: BAProblem) -> jax.Array:
-    r, _, _ = _jacobians(p)
-    return jnp.sum(r * r)
+def _residuals(p: BAProblem) -> jax.Array:
+    """Validity-masked residuals (O, 2) without the Jacobian passes."""
+    z6 = jnp.zeros(6, p.poses.dtype)
+    z3 = jnp.zeros(3, p.poses.dtype)
+    r = jax.vmap(
+        lambda pose, X, uv: _residual_one(z6, z3, pose, X, uv)
+    )(p.poses[p.obs_cam], p.points[p.obs_lm], p.obs_uv)
+    return jnp.where(p.obs_valid[:, None], r, 0.0)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
+def total_cost(p: BAProblem, robust_delta: float = 0.0) -> jax.Array:
+    """Objective value: plain sum of squares, or the Huber objective when
+    ``robust_delta`` > 0 (rho(r) = r^2 for ||r|| < delta, else
+    delta*(2||r|| - delta)) — the cost the IRLS steps descend."""
+    r = _residuals(p)
+    if robust_delta <= 0.0:
+        return jnp.sum(r * r)
+    rn2 = jnp.sum(r * r, axis=-1)
+    rn = jnp.sqrt(jnp.maximum(rn2, 1e-24))
+    rho = jnp.where(rn < robust_delta, rn2,
+                    robust_delta * (2.0 * rn - robust_delta))
+    return jnp.sum(jnp.where(p.obs_valid, rho, 0.0))
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 4))
 def optimize(p: BAProblem, iterations: int = 10, cg_iters: int = 30,
-             damping: float = 1e-4) -> Tuple[jax.Array, jax.Array, jax.Array]:
+             damping: float = 1e-4, robust_delta: float = 0.0,
+             ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """LM-damped BA.  Returns (poses, points, per-iteration cost).  Steps
     that increase the cost are rejected (damping fixed — simple but
-    robust for well-conditioned SLAM windows)."""
+    robust for well-conditioned SLAM windows).  ``robust_delta`` > 0
+    switches to Huber-IRLS steps with acceptance guarded on the TRUE
+    Huber objective, so every accepted step strictly decreases it."""
 
     def step(carry, _):
         poses, points = carry
@@ -234,8 +275,14 @@ def optimize(p: BAProblem, iterations: int = 10, cg_iters: int = 30,
         # ba_step already evaluated the residuals of pp while building the
         # system — consume its cost instead of re-running total_cost's
         # Jacobian pass (matches parallel/ba_sharded.optimize_sharded).
-        new_poses, new_points, c_old = ba_step(pp, damping, cg_iters)
-        c_new = total_cost(p._replace(poses=new_poses, points=new_points))
+        # Under IRLS the surrogate cost is not the objective: both sides
+        # of the acceptance test use the Huber objective instead.
+        new_poses, new_points, c_old = ba_step(pp, damping, cg_iters,
+                                               robust_delta=robust_delta)
+        if robust_delta > 0.0:
+            c_old = total_cost(pp, robust_delta)
+        c_new = total_cost(p._replace(poses=new_poses, points=new_points),
+                           robust_delta)
         better = c_new < c_old
         poses = jnp.where(better, new_poses, poses)
         points = jnp.where(better, new_points, points)

@@ -49,13 +49,15 @@ def pad_observations(p: ba_lib.BAProblem, multiple: int) -> ba_lib.BAProblem:
 
 
 def ba_step_sharded(
-    p: ba_lib.BAProblem, mesh: Mesh, damping: float = 1e-6, cg_iters: int = 30
+    p: ba_lib.BAProblem, mesh: Mesh, damping: float = 1e-6, cg_iters: int = 30,
+    robust_delta: float = 0.0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One distributed Gauss-Newton/Schur step.
 
     Observations shard over the `data` mesh axis; poses and points are
     replicated.  Returns (new_poses, new_points, cost) — identical on all
-    devices.
+    devices.  ``robust_delta`` > 0 makes it a Huber-IRLS step (weights are
+    per-observation, so sharding is unaffected; see models.ba._jacobians).
     """
     n_dev = mesh.shape[meshlib.DATA_AXIS]
     p = pad_observations(p, n_dev)
@@ -68,7 +70,8 @@ def ba_step_sharded(
             poses, points, obs_cam, obs_lm, obs_uv, obs_valid, nf
         )
         psum = lambda x: jax.lax.psum(x, meshlib.DATA_AXIS)
-        return ba_lib.ba_step(lp, damping, cg_iters, psum=psum)
+        return ba_lib.ba_step(lp, damping, cg_iters, psum=psum,
+                              robust_delta=robust_delta)
 
     fn = shard_map(
         local_step,
@@ -80,25 +83,32 @@ def ba_step_sharded(
     return fn(p.poses, p.points, p.obs_cam, p.obs_lm, p.obs_uv, p.obs_valid, nf)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4), static_argnames=("mesh",))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5),
+                   static_argnames=("mesh",))
 def optimize_sharded(
     p: ba_lib.BAProblem,
     key_unused=None,
     iterations: int = 8,
     cg_iters: int = 30,
     damping: float = 1e-6,
+    robust_delta: float = 0.0,
     *,
     mesh: Mesh,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Distributed LM-damped BA loop (jitted once per mesh/shape)."""
+    """Distributed LM-damped BA loop (jitted once per mesh/shape).
+    ``robust_delta`` > 0: Huber-IRLS steps, acceptance guarded on the
+    true Huber objective (mirrors models.ba.optimize)."""
 
     def step(carry, _):
         poses, points = carry
         pp = p._replace(poses=poses, points=points)
         new_poses, new_points, cost = ba_step_sharded(
-            pp, mesh, damping, cg_iters
+            pp, mesh, damping, cg_iters, robust_delta
         )
-        c_new = ba_lib.total_cost(p._replace(poses=new_poses, points=new_points))
+        if robust_delta > 0.0:
+            cost = ba_lib.total_cost(pp, robust_delta)
+        c_new = ba_lib.total_cost(
+            p._replace(poses=new_poses, points=new_points), robust_delta)
         better = c_new < cost
         poses = jnp.where(better, new_poses, poses)
         points = jnp.where(better, new_points, points)

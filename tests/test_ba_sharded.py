@@ -5,6 +5,10 @@ import jax
 import numpy as np
 import pytest
 
+#: Fast-lane exclusion (VERDICT r3 #7): this module is SLAM/distributed-
+#: heavy; `pytest -m 'not slow'` skips it for kernel iteration.
+pytestmark = pytest.mark.slow
+
 import jax.numpy as jnp
 
 from feature_detector_fast_tpu.models import ba

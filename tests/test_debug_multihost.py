@@ -3,6 +3,10 @@
 import numpy as np
 import pytest
 
+#: Fast-lane exclusion (VERDICT r3 #7): this module is SLAM/distributed-
+#: heavy; `pytest -m 'not slow'` skips it for kernel iteration.
+pytestmark = pytest.mark.slow
+
 from feature_detector_fast_tpu.parallel import multihost
 from feature_detector_fast_tpu.utils import debug
 

@@ -9,6 +9,10 @@ hops are scheduling, not semantics.
 import numpy as np
 import pytest
 
+#: Fast-lane exclusion (VERDICT r3 #7): this module is SLAM/distributed-
+#: heavy; `pytest -m 'not slow'` skips it for kernel iteration.
+pytestmark = pytest.mark.slow
+
 from feature_detector_fast_tpu.models import brief, match as matchlib
 from feature_detector_fast_tpu.parallel import pipeline
 

@@ -4,6 +4,10 @@ import jax
 import numpy as np
 import pytest
 
+#: Fast-lane exclusion (VERDICT r3 #7): this module is SLAM/distributed-
+#: heavy; `pytest -m 'not slow'` skips it for kernel iteration.
+pytestmark = pytest.mark.slow
+
 import pytest as _pytest
 
 
@@ -172,3 +176,73 @@ def test_optimize_robust_rejects_outlier_edge(rng):
                               axis=1).max()
     assert move_rob < 0.2, move_rob          # chain essentially preserved
     assert move_rob < 0.5 * move_raw, (move_rob, move_raw)
+
+
+def test_rotation_average_recovers_drifted_rotations(rng):
+    """rotation_average (round 4): absolute rotations with accumulated
+    drift + a few loop constraints must be recovered to well under the
+    drift level from clean relative rotations."""
+    n = 24
+    # ground-truth absolute rotations: smooth random walk
+    gts = [np.eye(3)]
+    for k in range(n - 1):
+        gts.append(gts[-1] @ np.asarray(lie.so3_exp(
+            jnp.asarray(rng.normal(0, 0.08, 3), jnp.float32))))
+    gts = np.stack(gts).astype(np.float32)
+
+    # drifted init: growing rotation error up to ~8 degrees
+    init = gts.copy()
+    for k in range(1, n):
+        err = rng.normal(0, 0.05, 3) * (k / n)
+        init[k] = np.asarray(lie.so3_exp(jnp.asarray(err, jnp.float32))) @ gts[k]
+
+    # edges: consecutive + 4 long loops, exact relative rotations
+    ei = list(range(n - 1)) + [0, 2, 5, 1]
+    ej = list(range(1, n)) + [n - 1, n - 3, n - 2, n - 5]
+    eR = np.stack([gts[i].T @ gts[j] for i, j in zip(ei, ej)])
+    ew = np.ones(len(ei), np.float32)
+
+    out = np.asarray(posegraph.rotation_average(
+        jnp.asarray(init), jnp.asarray(ei, jnp.int32),
+        jnp.asarray(ej, jnp.int32), jnp.asarray(eR), jnp.asarray(ew)))
+
+    def errs(R):
+        g0 = R[0] @ gts[0].T
+        return np.array([
+            np.degrees(np.arccos(np.clip(
+                (np.trace(g0.T @ R[k] @ gts[k].T) - 1) / 2, -1, 1)))
+            for k in range(n)
+        ])
+
+    before, after = errs(init), errs(out)
+    assert np.median(before) > 1.0, np.median(before)
+    assert after.max() < 0.35 * before.max(), (before.max(), after.max())
+    assert np.median(after) < 0.3, np.median(after)
+
+
+def test_rotation_average_robust_to_outlier_edge(rng):
+    """A grossly wrong loop edge (90 deg off) must be suppressed by the
+    Cauchy weighting instead of bending the solution."""
+    n = 12
+    gts = [np.eye(3, dtype=np.float32)]
+    for k in range(n - 1):
+        gts.append(gts[-1] @ np.asarray(lie.so3_exp(
+            jnp.asarray(rng.normal(0, 0.1, 3), jnp.float32))))
+    gts = np.stack(gts)
+    ei = list(range(n - 1)) + [0, 0]
+    ej = list(range(1, n)) + [n - 1, n // 2]
+    eR = [gts[i].T @ gts[j] for i, j in zip(ei, ej)]
+    # corrupt the last edge by a 90-degree rotation
+    eR[-1] = eR[-1] @ np.asarray(lie.so3_exp(
+        jnp.asarray([np.pi / 2, 0, 0], jnp.float32)))
+    out = np.asarray(posegraph.rotation_average(
+        jnp.asarray(gts), jnp.asarray(ei, jnp.int32),
+        jnp.asarray(ej, jnp.int32), jnp.asarray(np.stack(eR)),
+        jnp.ones(len(ei), jnp.float32)))
+    g0 = out[0] @ gts[0].T
+    errs = np.array([
+        np.degrees(np.arccos(np.clip(
+            (np.trace(g0.T @ out[k] @ gts[k].T) - 1) / 2, -1, 1)))
+        for k in range(n)
+    ])
+    assert errs.max() < 2.0, errs

@@ -4,6 +4,10 @@ import jax
 import numpy as np
 import pytest
 
+#: Fast-lane exclusion (VERDICT r3 #7): this module is SLAM/distributed-
+#: heavy; `pytest -m 'not slow'` skips it for kernel iteration.
+pytestmark = pytest.mark.slow
+
 import pytest as _pytest
 
 
