@@ -11,7 +11,13 @@ Per size: bit-exactness of the full detect+compact contract vs the
 TILE_H=128 reference, then the bench.py on-device scan timing.  A/B in
 ONE process (CLAUDE.md: cross-process TPU timings jitter +-50%).
 
-Usage: python tools/exp_r4_tiles.py [mode ...]   (default: off max_threshold)
+Usage: python tools/exp_r4_tiles.py [mode[:h1,h2,...] ...]
+       (default: off max_threshold with TILE_SIZES)
+
+Findings (first sweep, round 4): the OFF/SA SWAR kernels only compile at
+32-row-multiple tiles (u8 reshape granularity); MaxThreshold compiles at
+any sublane multiple and 216-row tiles (5 tiles, zero padding) measured
+0.1643 vs 0.1848 ms/frame at 128 — the follow-up sweep narrows both.
 """
 
 from __future__ import annotations
@@ -44,7 +50,14 @@ def main() -> int:
     from feature_detector_fast_tpu import Config, NonmaxMode, api
     from feature_detector_fast_tpu.ops import fast_pallas
 
-    modes = sys.argv[1:] or ["off", "max_threshold"]
+    specs = sys.argv[1:] or ["off", "max_threshold"]
+    modes = []
+    for s in specs:
+        if ":" in s:
+            mode, sizes = s.split(":", 1)
+            modes.append((mode, [int(x) for x in sizes.split(",")]))
+        else:
+            modes.append((s, TILE_SIZES))
     img = build_1080p_frame()
     chip_np = np.broadcast_to(img, (CHIP_BATCH,) + img.shape).copy()
     dev_batch = jax.device_put(chip_np)
@@ -55,12 +68,12 @@ def main() -> int:
             "max_threshold": Config(16, 9, NonmaxMode.MAX_THRESHOLD),
             "sum_absolute": Config(16, 9, NonmaxMode.SUM_ABSOLUTE)}
 
-    for mode in modes:
+    for mode, tile_sizes in modes:
         config = cfgs[mode]
         cap = api._max_super_cap(*img.shape)  # identity regime for off; fine for all
         args = (int(config.threshold), int(config.count), config.nonmax, cap)
         ref_packed = None
-        for tile_h in TILE_SIZES:
+        for tile_h in [128] + [t for t in tile_sizes if t != 128]:
             fast_pallas.TILE_H = tile_h
             # TILE_H is read at trace time, invisible to the jit cache
             # keys — drop the cached programs or every size would reuse
