@@ -45,9 +45,9 @@ def _max_super_cap(h: int, w: int) -> int:
     padded WIDTH or pathological images could retry forever.  Height
     stays TRUE: `_detect_compact` slices the word rows to the image
     height before superword selection, so tile-padding rows can no
-    longer contribute words, and an inflated bound would both delay the
-    identity-layout jump in `_grow_cap` (its 3/4 test is relative to
-    this bound) and oversize readback buffers (ADVICE r3)."""
+    longer contribute words, and an inflated bound would oversize the
+    identity-layout cap `_grow_cap` jumps to — and with it every
+    readback buffer (ADVICE r3)."""
     if _use_pallas():
         from .ops import fast_pallas
 
@@ -65,17 +65,21 @@ def tight_cap(n_supers: int, floor: int = 512) -> int:
 
 
 def _grow_cap(cap: int, n_supers: int, max_cap: int) -> int:
-    """Overflow-retry cap growth: at least double, at least tight_cap
-    headroom over the true superword count, clamped to the grid bound.
+    """Overflow-retry cap growth: jump STRAIGHT to the full-grid bound,
+    where ops.compact emits the identity superword layout (no top_k, no
+    gather).
 
-    When the grown cap already covers >= 3/4 of the grid, jump straight
-    to the grid bound: at that density the top_k partial sort is
-    selecting nearly everything, and ops.compact's full-cap identity
-    layout (no sort, no gather) is the cheaper encoding."""
-    new = min(max(-(-cap * 2 // 512) * 512, tight_cap(n_supers)), max_cap)
-    if new >= (3 * max_cap) // 4:
-        new = max_cap
-    return new
+    Rationale (round-4 A/B, tools/exp_r4_caps.py, one process): the
+    top_k partial sort's cost scales with the number of grid KEYS (8100
+    superwords at 1080p), not with the cap, so a right-sized mid cap
+    saves only readback bytes while paying the full sort — MaxThreshold
+    at its former production cap 4096 measured 0.1967 ms/frame vs
+    0.1645 at the identity cap; SumAbsolute 0.1857 vs 0.1557.  The
+    identity layout also can never overflow again, so any frame costs at
+    most ONE retry.  Frames that fit their initial cap keep the small-
+    cap top_k path (there the small readback buffer is the win)."""
+    del cap, n_supers
+    return max_cap
 
 
 def effective_width(w: int) -> int:

@@ -17,13 +17,16 @@ is hierarchical, exploiting keypoint sparsity (~0.5-1% of pixels):
      lowers to by ~2x at 1080p word counts,
   3. gather the selected superwords' word-bit rows whole.
 
-On DENSE frames the selection inverts: when the cap covers the whole
-superword grid (api._grow_cap jumps there once the right-sized cap hits
-3/4 of it), `_select_nonzero_supers` emits the identity superword
-layout instead — no sort, no gather — which measured 0.044 ms/frame
-cheaper than the near-full top_k on the 69%-nonzero golden_1080p OFF
-config (tools/exp_compact_identity.py, round 3).  Sparse configs (cap
-well under the grid) keep the top_k path and its small readback buffer.
+When the cap covers the whole superword grid, `_select_nonzero_supers`
+emits the identity superword layout instead — no sort, no gather.  The
+top_k's cost scales with the number of grid KEYS, not the cap, so the
+identity layout wins on any frame dense enough to overflow its initial
+cap: 0.044 ms/frame cheaper than the near-full top_k on the golden OFF
+config (tools/exp_compact_identity.py, round 3) and 0.030+ ms cheaper
+than a right-sized mid cap for MT/SA (tools/exp_r4_caps.py, round 4) —
+which is why api._grow_cap's overflow retry jumps straight to the grid
+bound.  Frames that FIT their initial cap keep the small-cap top_k path
+and its small readback buffer.
 
 The (superword-index, word-bits-row) pairs are a complete, ordered sparse
 encoding (~72 KB/frame at the default cap); expanding to flat pixel

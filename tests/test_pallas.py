@@ -108,9 +108,9 @@ def test_padded_dims_and_super_cap_bound():
     computable and EXACTLY cover the sliced word grid: true image height
     (api._detect_compact slices word rows to it before superword
     selection) x lane-padded width (words align per padded row).  ADVICE
-    r3: a padded-HEIGHT bound oversized caps/readback buffers and delayed
-    _grow_cap's identity-layout jump.  This path only runs on TPU in
-    production, so exercise it with the backend check mocked."""
+    r3: a padded-HEIGHT bound oversized the identity-layout cap _grow_cap
+    jumps to, and with it the readback buffers.  This path only runs on
+    TPU in production, so exercise it with the backend check mocked."""
     from unittest import mock
 
     from feature_detector_fast_tpu import api

@@ -73,7 +73,8 @@ def main() -> int:
         for count in range(9, 17):
             n_cfg += 1
             tag = f"{mode.name} c={count}"
-            try:
+
+            def one_config():
                 # Pass the frame as a traced argument — a zero-arg closure
                 # bakes the ~2 MB frame into every compiled program as an
                 # XLA constant (~72 copies through the relay + compile
@@ -92,7 +93,24 @@ def main() -> int:
                     static_argnums=(1, 2),
                 )(im, count, mode)
                 np.testing.assert_array_equal(
-                    np.asarray(words)[:, :wpw].reshape(-1), np.asarray(ref_bits))
+                    np.asarray(words)[:, :wpw].reshape(-1),
+                    np.asarray(ref_bits))
+
+            # The relay's remote Mosaic compile service crashes
+            # TRANSIENTLY (HTTP 500 "tpu_compile_helper subprocess exit
+            # code 1" — the same program compiles fine seconds later;
+            # observed repeatedly in the round-4 tile sweeps).  A
+            # correctness MISMATCH is deterministic, so retry runtime
+            # errors once but never AssertionErrors.
+            try:
+                try:
+                    one_config()
+                except AssertionError:
+                    raise
+                except Exception as e:  # noqa: BLE001 — transient relay?
+                    print(f"{tag}: retry after {type(e).__name__}",
+                          file=sys.stderr, flush=True)
+                    one_config()
                 passed.append(tag)
                 print(f"{tag}: bit-exact (dense + packed words)",
                       file=sys.stderr, flush=True)
