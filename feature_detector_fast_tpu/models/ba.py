@@ -34,6 +34,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..utils.precision import matmul_highest
 from . import lie
 
 
@@ -175,6 +176,7 @@ def _cg(matvec, b, iters: int):
     return x
 
 
+@matmul_highest
 def ba_step(p: BAProblem, damping, cg_iters: int, psum=None, psum_lm=None,
             robust_delta: float = 0.0):
     """One damped Gauss-Newton step via Schur elimination.
@@ -245,6 +247,7 @@ def _residuals(p: BAProblem) -> jax.Array:
     return jnp.where(p.obs_valid[:, None], r, 0.0)
 
 
+@matmul_highest
 def total_cost(p: BAProblem, robust_delta: float = 0.0) -> jax.Array:
     """Objective value: plain sum of squares, or the Huber objective when
     ``robust_delta`` > 0 (rho(r) = r^2 for ||r|| < delta, else
@@ -260,6 +263,7 @@ def total_cost(p: BAProblem, robust_delta: float = 0.0) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 4))
+@matmul_highest
 def optimize(p: BAProblem, iterations: int = 10, cg_iters: int = 30,
              damping: float = 1e-4, robust_delta: float = 0.0,
              ) -> Tuple[jax.Array, jax.Array, jax.Array]:

@@ -24,6 +24,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..utils.precision import matmul_highest
 from . import lie
 
 
@@ -99,6 +100,7 @@ def _cg(matvec, b, iters: int, damping):
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 5))
+@matmul_highest
 def optimize(
     g: PoseGraph,
     iterations: int = 10,
@@ -196,6 +198,7 @@ def optimize(
 
 
 @functools.partial(jax.jit, static_argnums=(5,))
+@matmul_highest
 def rotation_average(
     R: jax.Array,
     edge_i: jax.Array,
@@ -261,6 +264,7 @@ def rotation_average(
     return Rw
 
 
+@matmul_highest
 def solve_scale_drift(
     n: int,
     con_i: jax.Array,

@@ -40,6 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.metrics import ate_rmse
+from ..utils.precision import matmul_highest
 from . import ba as ba_lib
 from . import brief, match, posegraph, twoview
 
@@ -154,21 +155,22 @@ def _as_pair_batch(
 
 
 @functools.partial(jax.jit, static_argnums=(4, 6, 7))
+@matmul_highest
 def _estimate_pairs_device(pa, pb, valid, keys, hypotheses, threshold,
                            refine_iters=0, refine_cg=12):
     """vmapped essential-RANSAC + pose recovery + triangulation — plus,
     with ``refine_iters`` > 0, a fused per-pair two-camera Gauss-Newton
     reprojection refinement — for a (P, K, 2) batch of correspondence
     sets: the whole sequence's two-view geometry in one XLA program."""
-    eye = jnp.eye(3, dtype=pa.dtype)
-    zero = jnp.zeros(3, dtype=pa.dtype)
-
     def one(pa1, pb1, v1, key):
         E, inl = twoview.ransac_essential(
             pa1, pb1, v1, key, hypotheses, threshold
         )
         R, t, _ = twoview.recover_pose(E, pa1, pb1, inl)
-        X = twoview.triangulate(eye, zero, R, t, pa1, pb1)
+        # Closed-form ray depths replace per-point SVD triangulation
+        # everywhere in this dispatch (twoview.ray_depths docstring: the
+        # tiny batched SVDs were the geometry stage's dominant cost).
+        za, zb = twoview.ray_depths(R, t, pa1, pb1)
         if refine_iters > 0:
             # Two-camera BA on the RANSAC inliers: world = camera a,
             # camera b's 6 dof + inlier structure free.  Invalid slots
@@ -176,7 +178,10 @@ def _estimate_pairs_device(pa, pb, valid, keys, hypotheses, threshold,
             # validity-masked, the placeholder only keeps the masked
             # Jacobian arithmetic finite.
             k = pa1.shape[0]
-            ok = inl & (X[..., 2] > 1e-6) & jnp.isfinite(X).all(axis=-1)
+            qa1 = jnp.concatenate([pa1, jnp.ones_like(pa1[..., :1])],
+                                  axis=-1)
+            X = qa1 * za[..., None]  # frame-a (== world) landmark init
+            ok = inl & (za > 1e-6) & jnp.isfinite(za)
             Xs = jnp.where(ok[:, None], X,
                            jnp.asarray([0.0, 0.0, 1.0], X.dtype))
             Tb = jnp.eye(4, dtype=pa.dtype)
@@ -199,8 +204,8 @@ def _estimate_pairs_device(pa, pb, valid, keys, hypotheses, threshold,
             R = newp[1, :3, :3]
             t = newp[1, :3, 3]
             t = t / jnp.maximum(jnp.linalg.norm(t), 1e-12)
-            X = twoview.triangulate(eye, zero, R, t, pa1, pb1)
-        return R, t, inl, X[..., 2], (X @ R.T + t)[..., 2]
+            za, zb = twoview.ray_depths(R, t, pa1, pb1)
+        return R, t, inl, za, zb
 
     return jax.vmap(one)(pa, pb, valid, keys)
 

@@ -121,7 +121,8 @@ def optimize_sharded(
 
 
 def ba_step_sharded2d(
-    p: ba_lib.BAProblem, mesh: Mesh, damping: float = 1e-6, cg_iters: int = 30
+    p: ba_lib.BAProblem, mesh: Mesh, damping: float = 1e-6, cg_iters: int = 30,
+    robust_delta: float = 0.0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One Gauss-Newton/Schur step on a 2-D (data x model) mesh.
 
@@ -161,8 +162,11 @@ def ba_step_sharded2d(
         psum_all = lambda x: jax.lax.psum(
             x, (meshlib.DATA_AXIS, meshlib.MODEL_AXIS))
         psum_data = lambda x: jax.lax.psum(x, meshlib.DATA_AXIS)
+        # Huber-IRLS weights are per-observation and every observation
+        # is live on exactly one (data, model) cell (`mine`), so the
+        # robust path needs no extra collectives.
         return ba_lib.ba_step(lp, damping, cg_iters, psum=psum_all,
-                              psum_lm=psum_data)
+                              psum_lm=psum_data, robust_delta=robust_delta)
 
     fn = shard_map(
         local_step,

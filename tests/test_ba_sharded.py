@@ -110,3 +110,33 @@ def test_sharded2d_matches_single_device(rng):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(points2), np.asarray(points1),
                                atol=1e-4)
+
+
+def test_sharded_robust_matches_single_device(rng):
+    """Round-4 Huber-IRLS path: the 1-D and 2-D sharded robust steps must
+    agree with the single-device robust step (per-observation weights are
+    shard-local, so the collectives are unchanged)."""
+    gt_poses, gt_pts, p = make_ba_problem(rng, n_cams=5, n_pts=37)
+    # make a few observations gross outliers so the weights matter
+    uv = np.asarray(p.obs_uv).copy()
+    uv[::17] += 0.3
+    p = ba.BAProblem(p.poses, p.points, p.obs_cam, p.obs_lm,
+                     jnp.asarray(uv), p.obs_valid, p.n_fixed_cams)
+    delta = 0.01
+    poses1, points1, cost1 = ba.ba_step(p, 1e-6, 80, robust_delta=delta)
+    mesh1 = meshlib.make_mesh(n_data=8)
+    poses8, points8, cost8 = ba_sharded.ba_step_sharded(
+        p, mesh1, 1e-6, 80, robust_delta=delta)
+    np.testing.assert_allclose(np.asarray(cost8), np.asarray(cost1),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(poses8), np.asarray(poses1),
+                               atol=1e-5)
+    mesh2 = meshlib.make_mesh(n_data=4, n_model=2)
+    poses2d, points2d, cost2d = ba_sharded.ba_step_sharded2d(
+        p, mesh2, 1e-6, 80, robust_delta=delta)
+    np.testing.assert_allclose(np.asarray(cost2d), np.asarray(cost1),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(poses2d), np.asarray(poses1),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(points2d), np.asarray(points1),
+                               atol=1e-4)

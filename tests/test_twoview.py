@@ -115,3 +115,40 @@ def test_normalize_points():
     pts = jnp.asarray([[320.0, 240.0], [820.0, 720.0]])
     norm = np.asarray(twoview.normalize_points(pts, cam))
     np.testing.assert_allclose(norm, [[0, 0], [1.0, 1.0]], atol=1e-12)
+
+
+def test_ray_depths_match_triangulation(rng):
+    """ray_depths (round 4): on exact correspondences the closed-form ray
+    depths equal the DLT triangulation's depths; cheirality signs agree
+    for behind-camera points."""
+    import jax.numpy as jnp
+
+    n = 256
+    X = np.stack([rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n),
+                  rng.uniform(2, 9, n)], axis=-1)
+    th = 0.2
+    R = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                  [-np.sin(th), 0, np.cos(th)]])
+    t = np.array([0.7, 0.1, 0.05])
+    Xb = X @ R.T + t
+    pa = X[:, :2] / X[:, 2:]
+    pb = Xb[:, :2] / Xb[:, 2:]
+
+    za, zb = twoview.ray_depths(jnp.asarray(R), jnp.asarray(t),
+                                jnp.asarray(pa), jnp.asarray(pb))
+    np.testing.assert_allclose(np.asarray(za), X[:, 2], rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(zb), Xb[:, 2], rtol=2e-4)
+
+    Xtri = twoview.triangulate(jnp.eye(3), jnp.zeros(3), jnp.asarray(R),
+                               jnp.asarray(t), jnp.asarray(pa),
+                               jnp.asarray(pb))
+    np.testing.assert_allclose(np.asarray(za), np.asarray(Xtri)[:, 2],
+                               rtol=2e-3)
+
+    # behind-camera points must come out with negative ray depths
+    za_n, zb_n = twoview.ray_depths(jnp.asarray(R), jnp.asarray(t),
+                                    jnp.asarray(pa), jnp.asarray(pb))
+    za_f, zb_f = twoview.ray_depths(jnp.asarray(R), jnp.asarray(-t),
+                                    jnp.asarray(pa), jnp.asarray(pb))
+    assert (np.asarray(za_n) > 0).mean() > 0.99
+    assert (np.asarray(za_f) < 0).mean() > 0.9  # flipped baseline
