@@ -185,3 +185,28 @@ def test_pallas_tuning_flags_are_semantics_free(rng, flags):
     finally:
         for k, v in saved.items():
             setattr(fast_pallas, k, v)
+
+
+def test_tile_h_per_mode_and_override(rng):
+    """Round-4 tile-height plumbing: tile_h_for honors the per-mode map
+    and the experiment override, and a forced non-default tile height
+    stays bit-identical to the XLA reference (tile size is a pure
+    scheduling knob)."""
+    import jax.numpy as jnp
+
+    assert fast_pallas.tile_h_for(NonmaxMode.OFF) == \
+        fast_pallas.TILE_H_BY_MODE[NonmaxMode.OFF]
+    saved = fast_pallas.TILE_H_OVERRIDE
+    try:
+        fast_pallas.TILE_H_OVERRIDE = 48
+        for mode in NonmaxMode:
+            assert fast_pallas.tile_h_for(mode) == 48
+        img = rng.integers(0, 256, (70, 150), np.uint8)
+        for mode in (NonmaxMode.OFF, NonmaxMode.MAX_THRESHOLD):
+            m1, s1 = fast.detect_dense(img, 16, 9, mode)
+            m2, s2 = fast_pallas.detect_dense_pallas.__wrapped__(
+                jnp.asarray(img), 16, 9, mode, True)
+            np.testing.assert_array_equal(np.asarray(m2), np.asarray(m1))
+            np.testing.assert_array_equal(np.asarray(s2), np.asarray(s1))
+    finally:
+        fast_pallas.TILE_H_OVERRIDE = saved

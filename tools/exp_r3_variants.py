@@ -47,8 +47,11 @@ def main() -> int:
     # _PRE_HANDOFF (reusing the prefilter's cardinal biased sums in the
     # body) was measured NEUTRAL (off 0.1223 -> 0.1226, sliced 0.1186 ->
     # 0.1194) in the first sweep and the code path was removed.
+    # Round-4 note: tile height is forced through TILE_H_OVERRIDE (which
+    # beats the production TILE_H_BY_MODE map in fast_pallas.tile_h_for);
+    # the historical TILE_H entries below map onto it.
     DEFAULTS = dict(
-        TILE_H=64,
+        TILE_H_OVERRIDE=64,
         _SLICED_ROLLS=False,
         _SEP_NONMAX=False,
         _MT_WINDOW_DTYPE=jnp.int32,
@@ -105,9 +108,9 @@ def main() -> int:
         results["off-base"] = base_ms
         for tag, flags in [
             ("off-slicedrolls", dict(_SLICED_ROLLS=True)),
-            ("off-tile96", dict(TILE_H=96)),
-            ("off-tile128", dict(TILE_H=128)),
-            ("off-tile128+sliced", dict(TILE_H=128, _SLICED_ROLLS=True)),
+            ("off-tile96", dict(TILE_H_OVERRIDE=96)),
+            ("off-tile128", dict(TILE_H_OVERRIDE=128)),
+            ("off-tile128+sliced", dict(TILE_H_OVERRIDE=128, _SLICED_ROLLS=True)),
         ]:
             results[tag], _ = run_variant(tag, NonmaxMode.OFF, flags, base_w)
 
@@ -123,7 +126,7 @@ def main() -> int:
             for th in (64, 128):
                 tag = f"{mname}-land{th}"
                 results[tag], _ = run_variant(
-                    tag, mode, dict(LAND, TILE_H=th), base_w)
+                    tag, mode, dict(LAND, TILE_H_OVERRIDE=th), base_w)
         print("--- summary (ms/frame) ---", file=sys.stderr)
         for tag, ms in results.items():
             print(f"{tag}: {ms:.4f}", file=sys.stderr)
@@ -136,8 +139,8 @@ def main() -> int:
         ("mt-f32win", dict(_MT_WINDOW_DTYPE=f32)),
         ("mt-sepnm", dict(_SEP_NONMAX=True)),
         ("mt-f32+sepnm", dict(_MT_WINDOW_DTYPE=f32, _SEP_NONMAX=True)),
-        ("mt-tile128", dict(TILE_H=128)),
-        ("mt-tile128+all", dict(TILE_H=128, _MT_WINDOW_DTYPE=f32,
+        ("mt-tile128", dict(TILE_H_OVERRIDE=128)),
+        ("mt-tile128+all", dict(TILE_H_OVERRIDE=128, _MT_WINDOW_DTYPE=f32,
                                 _SEP_NONMAX=True)),
     ]:
         results[tag], _ = run_variant(tag, NonmaxMode.MAX_THRESHOLD, flags,

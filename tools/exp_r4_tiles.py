@@ -74,10 +74,13 @@ def main() -> int:
         args = (int(config.threshold), int(config.count), config.nonmax, cap)
         ref_packed = None
         for tile_h in [128] + [t for t in tile_sizes if t != 128]:
-            fast_pallas.TILE_H = tile_h
-            # TILE_H is read at trace time, invisible to the jit cache
-            # keys — drop the cached programs or every size would reuse
-            # the first compilation.
+            # TILE_H_OVERRIDE beats TILE_H_BY_MODE in tile_h_for() — a
+            # plain TILE_H patch would be shadowed by the per-mode map
+            # landed from this experiment's own results.  It is read at
+            # trace time, invisible to the jit cache keys — drop the
+            # cached programs or every size would reuse the first
+            # compilation.
+            fast_pallas.TILE_H_OVERRIDE = tile_h
             for fn in (api._detect_compact, api._detect_compact_batch,
                        api._detect_compact_batch_packed):
                 fn.clear_cache()
@@ -118,7 +121,7 @@ def main() -> int:
                 rec = {"mode": mode, "tile_h": tile_h,
                        "error": f"{type(e).__name__}: {str(e)[:200]}"}
             finally:
-                fast_pallas.TILE_H = 128
+                fast_pallas.TILE_H_OVERRIDE = None
             print(json.dumps(rec), flush=True)
             print(rec, file=sys.stderr, flush=True)
     return 0
