@@ -48,42 +48,46 @@ from . import windows
 #: window-build/DMA boundaries outweigh the coarser prefilter
 #: tile-skip granularity and the extra height padding.
 TILE_H = 128
-#: Per-mode whole-image row-tile heights (round-4 sweep,
-#: tools/exp_r4_tiles.py, all bit-exact vs the 128-row reference).
+#: Per-mode MEASURED-SAFE whole-image row-tile candidates (round-4
+#: sweeps, tools/exp_r4_tiles.py, every entry bit-exact on hardware).
 #: Fewer/larger tiles cut the per-tile machinery (window concat,
 #: u8->SWAR packing, per-tile DMA) that round-3 ablation pinned at ~44%
-#: of an OFF frame; low-padding heights also shrink the 1080 -> 1152
-#: padding waste.  Measured ms/frame at 1080p (vs 128-row tiles):
-#:   OFF 224: 0.1134 vs 0.1209  (5 tiles, pads 1080 -> 1120; the
-#:            OFF kernel only COMPILES at 32-row multiples — 120/216/
-#:            360/1080 consistently fail remote Mosaic compile — so the
-#:            zero-padding divisors are unreachable; 224 beat 160/288/
-#:            384/576/1088)
-#:   MT  160: ~0.172 vs 0.1852  (the sweep winner 216 = 0.1648 is
-#:            VMEM-UNSAFE: the MT dense kernel's score pyramids need
-#:            ~118 MB scoped VMEM at 216 rows vs the ~100 MB cap for
-#:            odd counts, and counts 9/11 compiled only on retry — the
-#:            documented near-limit flaky zone.  160 keeps ~5% with
-#:            ~27% VMEM headroom restored; 72/136/272/544 measured
-#:            slower)
-#:   SA  216: 0.1568 vs 0.1845  (beat 120/224/288/360; ALL counts
-#:            bit-exact on hardware incl. the dense kernel — the SWAR
-#:            SA kernel has no MT pyramids and fits comfortably)
-#: TILE_H stays as the legacy default for other callers.
-TILE_H_BY_MODE: dict = {
-    NonmaxMode.OFF: 224,
-    NonmaxMode.MAX_THRESHOLD: 160,
-    NonmaxMode.SUM_ABSOLUTE: 216,
+#: of an OFF frame, and padded rows are pure waste, so `tile_h_for`
+#: picks the candidate minimizing the PADDED height and breaks ties
+#: toward the larger tile.  This rule reproduces every 1080p sweep
+#: winner — OFF 224 (0.1134 vs 0.1209 at 128), MT 120 (0.1702 vs
+#: 0.1852), SA 216 (0.1568 vs 0.1845) — and stops small frames from
+#: over-padding (a fixed 224 padded 480-row VGA by 40%;
+#: resolution_bench 480p dropped 36.0k -> 31.9k f/s before this rule).
+#: Candidate constraints, all measured:
+#:   OFF: the kernel only COMPILES at 32-row multiples (other sizes
+#:        consistently fail remote Mosaic compile), and 256+ lost to
+#:        224 at 1080p.
+#:   MT:  any sublane multiple compiles, but >= ~180 rows is
+#:        VMEM-UNSAFE (the dense kernel's score pyramids hit the
+#:        ~100 MB scoped cap at 216: odd counts hard-OOM, others
+#:        compile flakily); 120 beat 72/136/160 below that.
+#:   SA:  no MT pyramids — 216 fits comfortably and beat every smaller
+#:        size; 360 was slightly worse.
+TILE_H_CANDIDATES: dict = {
+    NonmaxMode.OFF: (96, 128, 160, 192, 224),
+    NonmaxMode.MAX_THRESHOLD: (72, 96, 120, 160),
+    NonmaxMode.SUM_ABSOLUTE: (72, 96, 120, 128, 160, 216),
 }
 #: Experiments (tools/exp_r4_tiles.py) force one size for every mode.
 TILE_H_OVERRIDE = None
 
 
-def tile_h_for(mode) -> int:
-    """Whole-image row-tile height for a nonmax mode (trace-time)."""
+def tile_h_for(mode, h: int) -> int:
+    """Whole-image row-tile height for (nonmax mode, image height) —
+    trace-time.  Minimum padded height wins; ties go to the larger tile
+    (fewer per-tile boundaries)."""
     if TILE_H_OVERRIDE is not None:
         return int(TILE_H_OVERRIDE)
-    return int(TILE_H_BY_MODE.get(NonmaxMode(mode), TILE_H))
+    cands = TILE_H_CANDIDATES.get(NonmaxMode(mode))
+    if not cands:
+        return TILE_H
+    return min(cands, key=lambda t: (_pad_to(int(h), t), -t))
 
 
 #: Row-tile height of the SHARDED entry points (detect_dense_tiles /
@@ -695,7 +699,7 @@ def detect_dense_padded(
     nonmax = NonmaxMode(nonmax)
     threshold = _check_threshold(threshold)
     h, w = image.shape
-    tile_h = tile_h_for(nonmax)
+    tile_h = tile_h_for(nonmax, h)
     hp, wp = _pad_to(h, tile_h), _pad_to(w, LANES)
     img = jnp.pad(image, ((0, hp - h), (0, wp - w)))
     n_tiles = hp // tile_h
@@ -894,7 +898,7 @@ def detect_words_padded(
     nonmax = NonmaxMode(nonmax)
     threshold = _check_threshold(threshold)
     h, w = image.shape
-    tile_h = tile_h_for(nonmax)
+    tile_h = tile_h_for(nonmax, h)
     hp, wp = _pad_to(h, tile_h), _pad_to(w, LANES)
     assert wp // 32 <= _WORD_LANES, "use detect_dense_padded + pack for wide images"
     img = jnp.pad(image, ((0, hp - h), (0, wp - w)))

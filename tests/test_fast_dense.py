@@ -117,3 +117,14 @@ def test_super_cap_overflow_retry(reference_image):
     capped = as_tuples(
         detect_arrays(reference_image, Config(16, 9, NonmaxMode.OFF), max_supers=4))
     assert capped == full
+
+
+def test_grow_cap_jumps_to_identity():
+    """Round-4 cap policy: ANY overflow retry jumps straight to the
+    full-grid identity cap (top_k cost scales with grid keys, not cap —
+    tools/exp_r4_caps.py), so a frame costs at most one retry ever."""
+    from feature_detector_fast_tpu.api import _grow_cap
+
+    assert _grow_cap(2048, 2875, 8100) == 8100
+    assert _grow_cap(4, 5, 8100) == 8100
+    assert _grow_cap(8100, 8100, 8100) == 8100

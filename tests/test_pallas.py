@@ -187,20 +187,27 @@ def test_pallas_tuning_flags_are_semantics_free(rng, flags):
             setattr(fast_pallas, k, v)
 
 
-def test_tile_h_per_mode_and_override(rng):
-    """Round-4 tile-height plumbing: tile_h_for honors the per-mode map
-    and the experiment override, and a forced non-default tile height
+def test_tile_h_selection_and_override(rng):
+    """Round-4 tile-height plumbing: tile_h_for minimizes padded height
+    over the per-mode measured-safe candidates (ties -> larger tile),
+    honors the experiment override, and a forced non-default tile height
     stays bit-identical to the XLA reference (tile size is a pure
     scheduling knob)."""
     import jax.numpy as jnp
 
-    assert fast_pallas.tile_h_for(NonmaxMode.OFF) == \
-        fast_pallas.TILE_H_BY_MODE[NonmaxMode.OFF]
+    # 1080p winners reproduced by the rule (the sweep's measured bests)
+    assert fast_pallas.tile_h_for(NonmaxMode.OFF, 1080) == 224
+    assert fast_pallas.tile_h_for(NonmaxMode.MAX_THRESHOLD, 1080) == 120
+    assert fast_pallas.tile_h_for(NonmaxMode.SUM_ABSOLUTE, 1080) == 216
+    # small frames must not over-pad (VGA: 480 rows)
+    for mode in NonmaxMode:
+        t = fast_pallas.tile_h_for(mode, 480)
+        assert fast_pallas._pad_to(480, t) == 480, (mode, t)
     saved = fast_pallas.TILE_H_OVERRIDE
     try:
         fast_pallas.TILE_H_OVERRIDE = 48
         for mode in NonmaxMode:
-            assert fast_pallas.tile_h_for(mode) == 48
+            assert fast_pallas.tile_h_for(mode, 1080) == 48
         img = rng.integers(0, 256, (70, 150), np.uint8)
         for mode in (NonmaxMode.OFF, NonmaxMode.MAX_THRESHOLD):
             m1, s1 = fast.detect_dense(img, 16, 9, mode)

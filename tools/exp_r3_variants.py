@@ -48,7 +48,7 @@ def main() -> int:
     # body) was measured NEUTRAL (off 0.1223 -> 0.1226, sliced 0.1186 ->
     # 0.1194) in the first sweep and the code path was removed.
     # Round-4 note: tile height is forced through TILE_H_OVERRIDE (which
-    # beats the production TILE_H_BY_MODE map in fast_pallas.tile_h_for);
+    # beats the production per-mode selection in fast_pallas.tile_h_for);
     # the historical TILE_H entries below map onto it.
     DEFAULTS = dict(
         TILE_H_OVERRIDE=64,

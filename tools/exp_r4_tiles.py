@@ -74,9 +74,9 @@ def main() -> int:
         args = (int(config.threshold), int(config.count), config.nonmax, cap)
         ref_packed = None
         for tile_h in [128] + [t for t in tile_sizes if t != 128]:
-            # TILE_H_OVERRIDE beats TILE_H_BY_MODE in tile_h_for() — a
-            # plain TILE_H patch would be shadowed by the per-mode map
-            # landed from this experiment's own results.  It is read at
+            # TILE_H_OVERRIDE beats the per-mode candidate selection in
+            # tile_h_for() — a plain TILE_H patch would be shadowed by
+            # the selection rule landed from this experiment's results.  It is read at
             # trace time, invisible to the jit cache keys — drop the
             # cached programs or every size would reuse the first
             # compilation.
