@@ -31,8 +31,10 @@ monocular convention).
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import functools
+import time
 from typing import List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -211,13 +213,19 @@ def _estimate_pairs_device(pa, pb, valid, keys, hypotheses, threshold,
 
 
 def estimate_pairs(
-    batch: PairBatch, config: VOConfig, seed_offset: int = 0
+    batch: PairBatch, config: VOConfig, seed_offset: int = 0,
+    keys: Optional[jax.Array] = None,
 ) -> PairEstimates:
     """Batched two-view estimation: ONE device dispatch, ONE host fetch
     for all P pairs (SURVEY.md §3 TPU mapping — don't serialize the VO
-    loop on the host/device boundary)."""
+    loop on the host/device boundary).  ``keys`` overrides the per-pair
+    RANSAC keys (two-phase loop estimation re-estimates a SUBSET of pairs
+    with refinement and must hand each pair its original key so the
+    refined result is bit-identical to a full-batch refined run)."""
     p = batch.pa.shape[0]
-    keys = jax.random.split(jax.random.PRNGKey(config.seed + seed_offset), p)
+    if keys is None:
+        keys = jax.random.split(
+            jax.random.PRNGKey(config.seed + seed_offset), p)
     out = _estimate_pairs_device(
         jnp.asarray(batch.pa),
         jnp.asarray(batch.pb),
@@ -230,6 +238,28 @@ def estimate_pairs(
     )
     R, t, inl, da, db = jax.device_get(out)
     return PairEstimates(R, t, inl.astype(bool), da, db)
+
+
+@contextlib.contextmanager
+def _staged(times: Optional[dict], name: str):
+    """Accumulate wall seconds of the enclosed stage into ``times[name]``
+    (no-op when ``times`` is None).  Stages end with a host fetch of their
+    device results, so wall time per stage is dispatch+compute+readback —
+    the quantity a deployment sees (tools/exp_backend_stages.py)."""
+    if times is None:
+        yield
+        return
+    t0 = time.perf_counter()
+    yield
+    times[name] = times.get(name, 0.0) + time.perf_counter() - t0
+
+
+def _scatter_rows(dst: np.ndarray, idx: np.ndarray,
+                  rows: np.ndarray) -> np.ndarray:
+    """Copy of ``dst`` with ``dst[idx] = rows`` (batch-row scatter)."""
+    out = np.array(dst)
+    out[idx] = rows
+    return out
 
 
 def _chain_scales(est: PairEstimates, idx_b: np.ndarray) -> np.ndarray:
@@ -268,6 +298,7 @@ def run_vo_matches(
     ba_refine: bool = False,
     mesh=None,
     _internals: Optional[dict] = None,
+    stage_times: Optional[dict] = None,
 ) -> np.ndarray:
     """Geometric VO from per-pair normalized correspondences.
 
@@ -286,7 +317,8 @@ def run_vo_matches(
         # at the identity.
         return np.eye(4)[None]
     batch = _as_pair_batch(pair_data)
-    est = estimate_pairs(batch, config)
+    with _staged(stage_times, "odom_estimate_pairs"):
+        est = estimate_pairs(batch, config)
     if metrics is not None:
         for k in range(batch.pa.shape[0]):
             metrics.append({
@@ -355,7 +387,43 @@ def run_vo_matches(
                     lbatch.valid[:, :k_cap],
                     lbatch.idx_b[:, :k_cap],
                 )
-        lest = estimate_pairs(lbatch, config, seed_offset=1)
+        # Two-phase loop estimation (VERDICT r4 #1): phase 1 runs the
+        # batched RANSAC WITHOUT the fused per-pair GN refinement over
+        # every candidate; only pairs whose R,t will become graph
+        # constraints (far-gap, enough inliers) are re-estimated WITH
+        # refinement in a small second dispatch.  Near-gap loops
+        # contribute only median depth-ratio drift observations, which
+        # are robust to the degree-level rotation noise the refinement
+        # removes — refining all of them was most of the loop-stage
+        # device time (the GN refine is ~6x the RANSAC itself).
+        cfg_fast = dataclasses.replace(config, pair_refine_iters=0)
+        with _staged(stage_times, "loop_ransac"):
+            lest = estimate_pairs(lbatch, cfg_fast, seed_offset=1)
+        if config.pair_refine_iters > 0:
+            gaps = np.asarray([int(e[1]) - int(e[0]) for e in loop_pairs])
+            need = (gaps >= config.loop_edge_min_gap) & (
+                lest.inl.sum(axis=1) >= 16)
+            sel = np.nonzero(need)[0]
+            if sel.size:
+                # No sub-batch padding: a refined pair's result must not
+                # depend on arbitrary batch-mates (near-degenerate revisit
+                # pairs are numerically sensitive enough that even
+                # duplicated-row padding changed their refined depths
+                # through batched-matmul rounding).
+                sub = PairBatch(lbatch.pa[sel], lbatch.pb[sel],
+                                lbatch.valid[sel], lbatch.idx_b[sel])
+                lkeys = jax.random.split(
+                    jax.random.PRNGKey(config.seed + 1),
+                    lbatch.pa.shape[0])[sel]
+                with _staged(stage_times, "loop_refine"):
+                    rsub = estimate_pairs(sub, config, keys=lkeys)
+                lest = PairEstimates(
+                    _scatter_rows(lest.R, sel, rsub.R),
+                    _scatter_rows(lest.t_unit, sel, rsub.t_unit),
+                    _scatter_rows(lest.inl, sel, rsub.inl),
+                    _scatter_rows(lest.depths_a, sel, rsub.depths_a),
+                    _scatter_rows(lest.depths_b, sel, rsub.depths_b),
+                )
         k_cap = batch.pa.shape[1]
 
         def chain_depth_table(f: int) -> Tuple[np.ndarray, int]:
@@ -374,6 +442,7 @@ def run_vo_matches(
             return tbl, f - 1
 
         accepted = []  # (i, j, li, r_i, seg_j or None, log_drift or None)
+        t_accept0 = time.perf_counter()
         for li, entry in enumerate(loop_pairs):
             i, j = int(entry[0]), int(entry[1])
             n_inl = int(lest.inl[li].sum())
@@ -435,6 +504,11 @@ def run_vo_matches(
                     lest.inl[li] & lbatch.valid[li], lbatch.idx_b[li],
                 ))
 
+        if stage_times is not None:
+            stage_times["loop_accept_host"] = (
+                stage_times.get("loop_accept_host", 0.0)
+                + time.perf_counter() - t_accept0)
+
         # Per-segment scale-drift correction from the loops' relative
         # drift observations (linear LS; segment 0 is the gauge).
         c = np.ones(p)
@@ -444,10 +518,11 @@ def run_vo_matches(
             ci = np.array([x[0] for x in cons], np.int32)
             cj = np.array([x[1] for x in cons], np.int32)
             cl = np.array([x[2] for x in cons])
-            log_c = np.asarray(posegraph.solve_scale_drift(
-                p, jnp.asarray(ci), jnp.asarray(cj), jnp.asarray(cl),
-                jnp.ones(len(cons)),
-            ))
+            with _staged(stage_times, "scale_drift"):
+                log_c = np.asarray(posegraph.solve_scale_drift(
+                    p, jnp.asarray(ci), jnp.asarray(cj), jnp.asarray(cl),
+                    jnp.ones(len(cons)),
+                ))
             c = np.exp(log_c)
             # re-integrate the chain with drift divided out
             poses = [np.eye(4)]
@@ -515,13 +590,15 @@ def run_vo_matches(
         edge_weight=jnp.asarray(edge_w, poses_j.dtype),
     )
     has_loops = len(edge_i) > n - 1
-    opt_poses, _ = posegraph.optimize(
-        g,
-        config.loop_pose_graph_iters if has_loops else config.pose_graph_iters,
-        "dense",
-        robust_delta=config.loop_robust_delta if has_loops else 0.0,
-    )
-    result = np.asarray(opt_poses)
+    with _staged(stage_times, "pose_graph"):
+        opt_poses, _ = posegraph.optimize(
+            g,
+            config.loop_pose_graph_iters if has_loops
+            else config.pose_graph_iters,
+            "dense",
+            robust_delta=config.loop_robust_delta if has_loops else 0.0,
+        )
+        result = np.asarray(opt_poses)
     if _internals is not None:
         _internals.update(batch=batch, est=est, graph_poses=result.copy(),
                           loop_links=list(ba_loop_links),
@@ -530,12 +607,27 @@ def run_vo_matches(
     if ba_refine:
         result = refine_with_ba(result, batch, est, mesh=mesh,
                                 loop_links=ba_loop_links or None,
-                                graph_edges=rot_edges)
+                                graph_edges=rot_edges,
+                                stage_times=stage_times)
     return result
 
 
-def frontend_matches(
+def frontend_features(
     frames: List[np.ndarray], config: VOConfig
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Detect+describe every frame in ONE batched dispatch; returns
+    device-resident (xy, desc, dvalid).  Compute this once per sequence
+    and pass it to both `frontend_matches` and `propose_loop_closures` —
+    round 4 ran the full detect+describe TWICE per pipeline (VERDICT r4
+    weak #1: `propose_loop_closures` re-featurized frames that
+    `frontend_matches` had just featurized)."""
+    stack = jnp.asarray(np.stack(frames))
+    return _frontend_features(stack, config)
+
+
+def frontend_matches(
+    frames: List[np.ndarray], config: VOConfig,
+    features: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,
 ) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
     """Run the TPU front-end over a frame list; returns per-consecutive-
     pair (pa, pb, valid, idx_b) in normalized camera coordinates, where
@@ -544,9 +636,11 @@ def frontend_matches(
 
     Batched: ONE dispatch detects+describes every frame, one vmapped
     dispatch matches all consecutive pairs — per-frame dispatches each pay
-    a host round trip on remote-attached TPUs."""
-    stack = jnp.asarray(np.stack(frames))
-    xy, desc, dvalid = _frontend_features(stack, config)
+    a host round trip on remote-attached TPUs.  ``features`` supplies the
+    per-frame (xy, desc, dvalid) from `frontend_features` to avoid
+    re-running detection when the caller also proposes loop closures."""
+    xy, desc, dvalid = (features if features is not None
+                        else frontend_features(frames, config))
 
     def pair_match(kxy_a, da, va, kxy_b, db, vb):
         m = match.match.__wrapped__(da, va, db, vb)
@@ -612,6 +706,7 @@ def propose_loop_closures(
     min_matches: int = 60,
     chunk: int = 64,
     top_k: Optional[int] = None,
+    features: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,
 ) -> List[Tuple[int, int, np.ndarray, np.ndarray, np.ndarray]]:
     """Descriptor-based loop-closure candidates: match frame pairs at
     least ``gap`` apart.  One batched detect+describe dispatch, then vmapped
@@ -627,12 +722,15 @@ def propose_loop_closures(
     signature ranking (VERDICT r3 #2): each frame i only Hamming-matches
     its ``top_k`` most signature-similar partners j >= i + gap, making
     candidate matching O(F * top_k).  None = auto (exhaustive up to 64
-    frames, top_k=8 beyond); 0 forces exhaustive."""
+    frames, top_k=8 beyond); 0 forces exhaustive.
+
+    ``features`` supplies precomputed per-frame (xy, desc, dvalid) from
+    `frontend_features`, skipping the detect+describe dispatch."""
     f = len(frames)
     if top_k is None:
         top_k = 0 if f <= 64 else 8
-    stack = jnp.asarray(np.stack(frames))
-    xy, desc, dvalid = _frontend_features(stack, config)
+    xy, desc, dvalid = (features if features is not None
+                        else frontend_features(frames, config))
     if top_k:
         sig = np.asarray(_frame_signatures(desc, dvalid))
         sig = sig - sig.mean(axis=0)  # center: shared-background bits
@@ -701,15 +799,18 @@ def run_vo_images(
 ) -> np.ndarray:
     """Full pipeline: images -> trajectory (F, 4, 4); with
     ``loop_closure_gap`` set, distant frame pairs are matched and added as
-    pose-graph constraints."""
+    pose-graph constraints.  Frames are detected+described ONCE; the
+    features feed both consecutive-pair matching and loop proposal."""
+    feats = frontend_features(frames, config)
     loops = (
-        propose_loop_closures(frames, config, gap=loop_closure_gap)
+        propose_loop_closures(frames, config, gap=loop_closure_gap,
+                              features=feats)
         if loop_closure_gap
         else None
     )
     return run_vo_matches(
-        frontend_matches(frames, config), config, loop_pairs=loops,
-        metrics=metrics, ba_refine=ba_refine,
+        frontend_matches(frames, config, features=feats), config,
+        loop_pairs=loops, metrics=metrics, ba_refine=ba_refine,
     )
 
 
@@ -858,6 +959,7 @@ def refine_with_ba(
     loop_ba_rounds: int = 2,
     loop_ba_iters: int = 20,
     loop_cg_iters: int = 40,
+    stage_times: Optional[dict] = None,
 ) -> np.ndarray:
     """Structure-from-motion refinement of a VO trajectory: build tracks
     (including loop-pair links), triangulate landmarks from the current
@@ -885,7 +987,9 @@ def refine_with_ba(
 
     With ``mesh`` the global solves run distributed (observations
     sharded, psum Schur reductions, parallel.ba_sharded)."""
-    obs_cam, obs_lm, obs_uv = build_tracks(batch, est, loop_links=loop_links)
+    with _staged(stage_times, "tracks_host"):
+        obs_cam, obs_lm, obs_uv = build_tracks(batch, est,
+                                               loop_links=loop_links)
     if obs_lm.size == 0:
         return poses
     n_lm = int(obs_lm.max()) + 1
@@ -939,36 +1043,42 @@ def refine_with_ba(
     if has_loops:
         cur = np.array(poses)
         if graph_edges is not None:
-            ei, ej, eR, ew = graph_edges
-            eR = np.asarray([np.asarray(R)[:3, :3] for R in eR])
-            Rw = np.asarray(posegraph.rotation_average(
-                jnp.asarray(cur[:, :3, :3], jnp.float32),
-                jnp.asarray(ei, jnp.int32), jnp.asarray(ej, jnp.int32),
-                jnp.asarray(eR, jnp.float32),
-                jnp.asarray(ew, jnp.float32),
-            ))
-            cur[:, :3, :3] = Rw
+            with _staged(stage_times, "rotation_avg"):
+                ei, ej, eR, ew = graph_edges
+                eR = np.asarray([np.asarray(R)[:3, :3] for R in eR])
+                Rw = np.asarray(posegraph.rotation_average(
+                    jnp.asarray(cur[:, :3, :3], jnp.float32),
+                    jnp.asarray(ei, jnp.int32), jnp.asarray(ej, jnp.int32),
+                    jnp.asarray(eR, jnp.float32),
+                    jnp.asarray(ew, jnp.float32),
+                ))
+                cur[:, :3, :3] = Rw
         for _ in range(int(loop_ba_rounds)):
-            w2c, pts, valid = gated_problem(cur)
-            cur = solve(w2c, pts, valid, int(loop_ba_iters),
-                        int(loop_cg_iters), float(robust_delta))
+            with _staged(stage_times, "triangulate_gate_host"):
+                w2c, pts, valid = gated_problem(cur)
+            with _staged(stage_times, "ba_solve"):
+                cur = solve(w2c, pts, valid, int(loop_ba_iters),
+                            int(loop_cg_iters), float(robust_delta))
         return cur
 
-    w2c, pts, valid = gated_problem(poses)
+    with _staged(stage_times, "triangulate_gate_host"):
+        w2c, pts, valid = gated_problem(poses)
     if n_cams >= int(windowed_threshold):
         # Sequence-parallel route: culled observations feed the sliding-
         # window builder; windows refine as one (mesh-shardable) batch.
         from . import windowed_ba
 
         sel = np.nonzero(valid)[0]
-        new_w2c = windowed_ba.refine_trajectory_windowed(
-            w2c, pts, obs_cam[sel], obs_lm[sel],
-            np.asarray(obs_uv)[sel], window=int(window),
-            stride=int(stride), iterations=int(iterations), mesh=mesh,
-        )
+        with _staged(stage_times, "ba_solve"):
+            new_w2c = windowed_ba.refine_trajectory_windowed(
+                w2c, pts, obs_cam[sel], obs_lm[sel],
+                np.asarray(obs_uv)[sel], window=int(window),
+                stride=int(stride), iterations=int(iterations), mesh=mesh,
+            )
         return np.linalg.inv(np.asarray(new_w2c))
 
-    return solve(w2c, pts, valid, int(iterations), int(cg_iters), 0.0)
+    with _staged(stage_times, "ba_solve"):
+        return solve(w2c, pts, valid, int(iterations), int(cg_iters), 0.0)
 
 
 def evaluate_ate(

@@ -185,6 +185,34 @@ _MT_PYRAMID_DTYPE = jnp.float32
 #: (tools/tpu_acceptance.py).
 _MT_WINDOW_DTYPE = jnp.float32
 
+#: Max computed-row span per MaxThreshold pyramid sub-block (None =
+#: whole tile in one block).  The dual min/max pyramids keep ~64 planes
+#: live, so VMEM scales with this chunk instead of the tile height —
+#: what unlocks the >=180-row MT tiles that hard-OOMed in round 4 (the
+#: ring reductions are per-pixel; chunking is exact with zero
+#: recomputation — see _tile_keypoints).  Chunks are balanced and
+#: rounded to the 8-row sublane.  128 keeps sub-180-row tiles in one
+#: block (no change to the measured 120-row configs).
+MT_PYRAMID_CHUNK = 128
+
+
+def _mt_chunks(rows: int, limit) -> list:
+    """Balanced (start, rows) row sub-blocks of ``rows``, each <= limit,
+    sized in 8-row sublane multiples (the last takes the remainder)."""
+    if not limit or rows <= int(limit):
+        return [(0, rows)]
+    n = -(-rows // int(limit))
+    per = -(-rows // n)  # ceil: balanced chunk target
+    base = -(-per // 8) * 8  # rounded up to the 8-row sublane
+    out = []
+    c0 = 0
+    while c0 < rows:
+        cr = min(base, rows - c0)
+        out.append((c0, cr))
+        c0 += cr
+    return out
+
+
 #: Roll only the row span each distinct column shift actually feeds
 #: (see _RolledWindow) instead of the full halo window.  Measured on v5e
 #: (tools/exp_r3_variants.py, golden_1080p): OFF 0.1223 -> 0.1186
@@ -635,14 +663,34 @@ def _tile_keypoints(rw, center, *, i, rows, row0,
     # min_W(c-p) = c - max_W(p) to skip the subtracts measured ~22%
     # SLOWER (the fresh diff planes fuse/lay out better than long-lived
     # window slices); also a recorded dead end.
-    diffs = []
-    for dx, dy in CIRCLE:
-        d = center - rw.tap(dx, dy, rows, row0)
-        if d.dtype != _MT_PYRAMID_DTYPE:
-            d = d.astype(_MT_PYRAMID_DTYPE)
-        diffs.append(d)
-    eh = windows.ring_max_of_window_min(diffs, count, jnp.minimum, jnp.maximum)
-    el = windows.ring_min_of_window_max(diffs, count, jnp.minimum, jnp.maximum)
+    #
+    # Row-CHUNKED evaluation (round 5, VERDICT r4 #3): the dual pyramids'
+    # peak liveness is ~64 planes (16 diffs + 48 doubling/fold levels),
+    # which at 216-row tiles needs ~118 MB scoped VMEM — past the ~100 MB
+    # cap that blocked MT's measured-faster 216-row tile.  The ring
+    # reductions are PURELY per-pixel (no spatial extent once the taps
+    # are rolled), so evaluating eh/el over row sub-blocks is exact with
+    # ZERO recomputation: each chunk slices the shared rolled tap planes
+    # (rw.tap with a sub-row range) and its level planes die before the
+    # next chunk.  Liveness scales with the chunk, not the tile.
+    eh_parts, el_parts = [], []
+    for c0, cr in _mt_chunks(rows, MT_PYRAMID_CHUNK):
+        cen = center if cr == rows else jax.lax.slice_in_dim(
+            center, c0, c0 + cr, axis=0)
+        diffs = []
+        for dx, dy in CIRCLE:
+            d = cen - rw.tap(dx, dy, cr, row0 + c0)
+            if d.dtype != _MT_PYRAMID_DTYPE:
+                d = d.astype(_MT_PYRAMID_DTYPE)
+            diffs.append(d)
+        eh_parts.append(windows.ring_max_of_window_min(
+            diffs, count, jnp.minimum, jnp.maximum))
+        el_parts.append(windows.ring_min_of_window_max(
+            diffs, count, jnp.minimum, jnp.maximum))
+    eh = (eh_parts[0] if len(eh_parts) == 1
+          else jnp.concatenate(eh_parts, axis=0))
+    el = (el_parts[0] if len(el_parts) == 1
+          else jnp.concatenate(el_parts, axis=0))
     # Compares and score stay in the pyramid dtype (exact on integer
     # values in [-255, 255]); the score plane is cast to u16 only at the
     # kernel's output write.
@@ -820,22 +868,38 @@ def detect_dense_tiles(
 # keypoint words — the dense mask never exists in memory.
 # ---------------------------------------------------------------------------
 
-_WORD_LANES = 128  # lane width of the packed-words output block
+_WORD_LANES = 128  # minimum lane width of the packed-words output block
+#: Widest supported packed-words image: lanes grow in 128-word steps up
+#: to 256 words = 8192 px (round 5, VERDICT r4 #2 — the 4096-px cap made
+#: docs/DISTRIBUTED.md's 8K keypoint-list claim false).  The cost of the
+#: wider block is the pack matrix's VMEM ((wp, 4*lanes) bf16 = 16 MB at
+#: 8192 px vs 2 MB at 4096) and a proportionally larger pack matmul;
+#: beyond 8192 px the matrix alone crowds the ~100 MB scoped-VMEM cap on
+#: top of the detector's window planes, so wider frames route through
+#: dense+pack (api._detect_compact's fallback).
+_WORD_LANES_MAX = 256
+
+
+def _word_lanes_for(wp: int) -> int:
+    """Lane width of the packed-words output for a padded image width:
+    the word count rounded up to a multiple of the 128-lane vreg."""
+    wpw = wp // 32
+    return max(_WORD_LANES, -(-wpw // _WORD_LANES) * _WORD_LANES)
 
 
 def words_supported(w: int) -> bool:
     """The packed-words kernel holds one row of words per sublane —
-    requires padded_width(w)/32 <= 128 lanes (images up to 4096 px wide)."""
-    return padded_width(w) // 32 <= _WORD_LANES
+    requires padded_width(w)/32 <= 256 word lanes (up to 8192 px wide)."""
+    return padded_width(w) // 32 <= _WORD_LANES_MAX
 
 
 @functools.lru_cache(maxsize=None)
 def _pack_weights(wp: int):
-    """(wp, 4*_WORD_LANES) bf16 packing matrix.
+    """(wp, 4*n_lanes) bf16 packing matrix, n_lanes = _word_lanes_for(wp).
 
     Column c of the keypoint plane (word j = c//32, bit r = c%32, byte
     t = r//8, bit-in-byte b = r%8) contributes 2^b to output column
-    t*_WORD_LANES + j.  A bf16 matmul of the {0,1} keypoint plane against
+    t*n_lanes + j.  A bf16 matmul of the {0,1} keypoint plane against
     this matrix on the MXU packs 8 mask bits per output byte EXACTLY —
     every term is a distinct power of two <= 128, per-dot sums <= 255,
     and f32 accumulation is exact far beyond that.
@@ -845,19 +909,21 @@ def _pack_weights(wp: int):
     import numpy as np
     import ml_dtypes
 
+    n_lanes = _word_lanes_for(wp)
     wpw = wp // 32
-    assert wpw <= _WORD_LANES, wp
-    w = np.zeros((wp, 4 * _WORD_LANES), np.float32)
+    assert wpw <= n_lanes <= _WORD_LANES_MAX, wp
+    w = np.zeros((wp, 4 * n_lanes), np.float32)
     c = np.arange(wp)
     j, r = c // 32, c % 32
     t, b = r // 8, r % 8
-    w[c, t * _WORD_LANES + j] = np.left_shift(1, b).astype(np.float32)
+    w[c, t * n_lanes + j] = np.left_shift(1, b).astype(np.float32)
     return w.astype(ml_dtypes.bfloat16)
 
 
 def _kernel_words(img_prev, img_cur, img_next, wmat, words_out, *,
                   mode: NonmaxMode, threshold: int, count: int, height: int,
-                  width: int, tile_h: int, i0=0):
+                  width: int, tile_h: int, n_lanes: int = _WORD_LANES,
+                  i0=0):
     _, tile_has_candidates, tile_body = _tile_keep(
         img_prev, img_cur, img_next, mode=mode, threshold=int(threshold),
         count=count, height=height, width=width, tile_h=tile_h, i0=i0,
@@ -865,7 +931,7 @@ def _kernel_words(img_prev, img_cur, img_next, wmat, words_out, *,
 
     @pl.when(jnp.logical_not(tile_has_candidates))
     def _():
-        words_out[:, :] = jnp.zeros((tile_h, _WORD_LANES), jnp.int32)
+        words_out[:, :] = jnp.zeros((tile_h, n_lanes), jnp.int32)
 
     @pl.when(tile_has_candidates)
     def _():
@@ -877,7 +943,7 @@ def _kernel_words(img_prev, img_cur, img_next, wmat, words_out, *,
         )
         by = [
             jax.lax.slice_in_dim(
-                wb, t * _WORD_LANES, (t + 1) * _WORD_LANES, axis=1
+                wb, t * n_lanes, (t + 1) * n_lanes, axis=1
             ).astype(jnp.int32)
             for t in range(4)
         ]
@@ -900,7 +966,9 @@ def detect_words_padded(
     h, w = image.shape
     tile_h = tile_h_for(nonmax, h)
     hp, wp = _pad_to(h, tile_h), _pad_to(w, LANES)
-    assert wp // 32 <= _WORD_LANES, "use detect_dense_padded + pack for wide images"
+    n_lanes = _word_lanes_for(wp)
+    assert wp // 32 <= _WORD_LANES_MAX, \
+        "use detect_dense_padded + pack for wide images"
     img = jnp.pad(image, ((0, hp - h), (0, wp - w)))
     n_tiles = hp // tile_h
 
@@ -912,6 +980,7 @@ def detect_words_padded(
         height=h,
         width=w,
         tile_h=tile_h,
+        n_lanes=n_lanes,
     )
     clamp = lambda v: jnp.clip(v, 0, n_tiles - 1)
     words = pl.pallas_call(
@@ -921,10 +990,10 @@ def detect_words_padded(
             pl.BlockSpec((tile_h, wp), lambda i: (clamp(i - 1), 0)),
             pl.BlockSpec((tile_h, wp), lambda i: (i, 0)),
             pl.BlockSpec((tile_h, wp), lambda i: (clamp(i + 1), 0)),
-            pl.BlockSpec((wp, 4 * _WORD_LANES), lambda i: (0, 0)),
+            pl.BlockSpec((wp, 4 * n_lanes), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((tile_h, _WORD_LANES), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((hp, _WORD_LANES), jnp.int32),
+        out_specs=pl.BlockSpec((tile_h, n_lanes), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((hp, n_lanes), jnp.int32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=bool(interpret),
     )(img, img, img, jnp.asarray(_pack_weights(wp), jnp.bfloat16))
@@ -933,13 +1002,15 @@ def detect_words_padded(
 
 def _kernel_words_tiles(i0_ref, img_prev, img_cur, img_next, wmat,
                         words_out, *, mode: NonmaxMode, threshold: int,
-                        count: int, height: int, width: int, tile_h: int):
+                        count: int, height: int, width: int, tile_h: int,
+                        n_lanes: int = _WORD_LANES):
     """Row-shard packed-words kernel: _kernel_words with the global tile
     index of local tile 0 arriving as an SMEM scalar (per-shard DATA, so
     one XLA program serves every shard of a shard_map)."""
     _kernel_words(img_prev, img_cur, img_next, wmat, words_out, mode=mode,
                   threshold=threshold, count=count, height=height,
-                  width=width, tile_h=tile_h, i0=i0_ref[0, 0])
+                  width=width, tile_h=tile_h, n_lanes=n_lanes,
+                  i0=i0_ref[0, 0])
 
 
 def detect_words_tiles(
@@ -961,9 +1032,10 @@ def detect_words_tiles(
     tile_h = TILE_H_SHARD
     rows_ext, wp = ext_img.shape
     rows_local = rows_ext - 2 * tile_h
+    n_lanes = _word_lanes_for(wp)
     assert rows_local % tile_h == 0 and rows_local > 0, rows_ext
     assert wp % LANES == 0, wp
-    assert wp // 32 <= _WORD_LANES, "image too wide for the words kernel"
+    assert wp // 32 <= _WORD_LANES_MAX, "image too wide for the words kernel"
     n_tiles = rows_local // tile_h
 
     kernel = functools.partial(
@@ -974,6 +1046,7 @@ def detect_words_tiles(
         height=int(height),
         width=int(width),
         tile_h=tile_h,
+        n_lanes=n_lanes,
     )
     i0 = jnp.asarray(tile0, jnp.int32).reshape(1, 1)
     words = pl.pallas_call(
@@ -985,10 +1058,10 @@ def detect_words_tiles(
             pl.BlockSpec((tile_h, wp), lambda i: (i, 0)),
             pl.BlockSpec((tile_h, wp), lambda i: (i + 1, 0)),
             pl.BlockSpec((tile_h, wp), lambda i: (i + 2, 0)),
-            pl.BlockSpec((wp, 4 * _WORD_LANES), lambda i: (0, 0)),
+            pl.BlockSpec((wp, 4 * n_lanes), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((tile_h, _WORD_LANES), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((rows_local, _WORD_LANES), jnp.int32),
+        out_specs=pl.BlockSpec((tile_h, n_lanes), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows_local, n_lanes), jnp.int32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=bool(interpret),
     )(i0, ext_img, ext_img, ext_img,

@@ -217,3 +217,29 @@ def test_tile_h_selection_and_override(rng):
             np.testing.assert_array_equal(np.asarray(s2), np.asarray(s1))
     finally:
         fast_pallas.TILE_H_OVERRIDE = saved
+
+
+def test_mt_pyramid_chunking_bit_exact(rng):
+    """Row-chunked MaxThreshold pyramids (round 5, VERDICT r4 #3) are a
+    pure VMEM-liveness knob: any chunk size must emit bit-identical mask
+    and score planes (the ring reductions are per-pixel, so sub-block
+    evaluation is exact by construction)."""
+    img = rng.integers(0, 256, (200, 140), np.uint8)
+    old_chunk = fast_pallas.MT_PYRAMID_CHUNK
+    old_tile = fast_pallas.TILE_H_OVERRIDE
+    try:
+        fast_pallas.TILE_H_OVERRIDE = 96  # rows=98 per tile
+        fast_pallas.MT_PYRAMID_CHUNK = None
+        m_ref, s_ref = fast_pallas.detect_dense_pallas(
+            img, 16, 9, NonmaxMode.MAX_THRESHOLD, True)
+        for chunk in (40, 64, 96):
+            fast_pallas.MT_PYRAMID_CHUNK = chunk
+            fast_pallas.detect_dense_pallas.clear_cache()
+            m, s = fast_pallas.detect_dense_pallas(
+                img, 16, 9, NonmaxMode.MAX_THRESHOLD, True)
+            np.testing.assert_array_equal(np.asarray(m), np.asarray(m_ref))
+            np.testing.assert_array_equal(np.asarray(s), np.asarray(s_ref))
+    finally:
+        fast_pallas.MT_PYRAMID_CHUNK = old_chunk
+        fast_pallas.TILE_H_OVERRIDE = old_tile
+        fast_pallas.detect_dense_pallas.clear_cache()

@@ -63,18 +63,24 @@ def main() -> int:
     def run_once():
         stages = {}
         t = time.perf_counter()
-        pd = slam.frontend_matches(frames, vocfg)
+        feats = slam.frontend_features(frames, vocfg)
+        jax.block_until_ready(feats)
+        stages["features_s"] = time.perf_counter() - t
+        t = time.perf_counter()
+        pd = slam.frontend_matches(frames, vocfg, features=feats)
         stages["frontend_s"] = time.perf_counter() - t
         loops = None
         if with_loops:
             t = time.perf_counter()
             loops = slam.propose_loop_closures(frames, vocfg, gap=10,
-                                               top_k=8)
+                                               top_k=8, features=feats)
             stages["loop_propose_s"] = time.perf_counter() - t
         t = time.perf_counter()
+        st = {}
         est = slam.run_vo_matches(list(pd), vocfg, loop_pairs=loops,
-                                  ba_refine=with_loops)
+                                  ba_refine=with_loops, stage_times=st)
         stages["geometry_s"] = time.perf_counter() - t
+        stages.update({f"geo.{k}_s": v for k, v in st.items()})
         return est, stages
 
     # Warmup compiles every program involved; the second run is the
