@@ -105,6 +105,53 @@ def _segment_sum(vals: jax.Array, idx: jax.Array, num: int) -> jax.Array:
     return jnp.zeros((num,) + vals.shape[1:], vals.dtype).at[idx].add(vals)
 
 
+def _inv33(M: jax.Array) -> jax.Array:
+    """Inverse of batched SPD 3x3 matrices via an UNROLLED Cholesky
+    factorization (inv = L^-T L^-1) — pure elementwise arithmetic.
+    `jnp.linalg.inv` lowers tiny batched inverses through an LU path
+    that, like tiny batched SVDs, wastes the TPU (CLAUDE.md); every BA
+    step inverts L damped Hll blocks, so this sits in the Schur hot
+    loop.  Cholesky (not the adjugate/determinant closed form) because
+    it is backward-stable in f32: the adjugate lost ~1e-3 relative
+    accuracy on ill-conditioned damped blocks, which surfaced as a 6e-4
+    sharded-vs-single cost divergence in tests/test_ba_sharded.py's f32
+    agreement contract.  Callers pass damped (strictly SPD) blocks."""
+    a11, a21, a31 = M[..., 0, 0], M[..., 1, 0], M[..., 2, 0]
+    a22, a32, a33 = M[..., 1, 1], M[..., 2, 1], M[..., 2, 2]
+    tiny = 1e-30
+    l11 = jnp.sqrt(jnp.maximum(a11, tiny))
+    l21 = a21 / l11
+    l31 = a31 / l11
+    l22 = jnp.sqrt(jnp.maximum(a22 - l21 * l21, tiny))
+    l32 = (a32 - l31 * l21) / l22
+    l33 = jnp.sqrt(jnp.maximum(a33 - l31 * l31 - l32 * l32, tiny))
+    # L^-1 (lower triangular)
+    i11 = 1.0 / l11
+    i22 = 1.0 / l22
+    i33 = 1.0 / l33
+    i21 = -l21 * i11 * i22
+    i32 = -l32 * i22 * i33
+    i31 = (l21 * l32 - l31 * l22) * i11 * i22 * i33
+    # inv = L^-T L^-1 (symmetric)
+    m11 = i11 * i11 + i21 * i21 + i31 * i31
+    m12 = i21 * i22 + i31 * i32
+    m13 = i31 * i33
+    m22 = i22 * i22 + i32 * i32
+    m23 = i32 * i33
+    m33 = i33 * i33
+    X = jnp.stack([
+        jnp.stack([m11, m12, m13], axis=-1),
+        jnp.stack([m12, m22, m23], axis=-1),
+        jnp.stack([m13, m23, m33], axis=-1),
+    ], axis=-2)
+    # One Newton-Schulz polish X <- X (2I - M X) (two tiny batched
+    # matmuls): quadratically shrinks the f32 factorization residual on
+    # the worst-conditioned blocks.
+    eye2 = 2.0 * jnp.eye(3, dtype=M.dtype)
+    return jnp.einsum("...ij,...jk->...ik", X,
+                      eye2 - jnp.einsum("...ij,...jk->...ik", M, X))
+
+
 class _System(NamedTuple):
     r: jax.Array
     Jc: jax.Array
@@ -120,7 +167,7 @@ def _build_system(p: BAProblem, damping, robust_delta: float = 0.0) -> _System:
     L = p.points.shape[0]
     Hll = _segment_sum(jnp.einsum("oij,oik->ojk", Jl, Jl), p.obs_lm, L)
     Hll = Hll + damping * jnp.eye(3, dtype=Hll.dtype)
-    Hll_inv = jnp.linalg.inv(Hll)
+    Hll_inv = _inv33(Hll)
     b_c = _segment_sum(jnp.einsum("oij,oi->oj", Jc, r), p.obs_cam, C)
     b_l = _segment_sum(jnp.einsum("oij,oi->oj", Jl, r), p.obs_lm, L)
     return _System(r, Jc, Jl, Hll_inv, b_c, b_l)
@@ -203,7 +250,7 @@ def ba_step(p: BAProblem, damping, cg_iters: int, psum=None, psum_lm=None,
             jnp.einsum("oij,oik->ojk", sys.Jl, sys.Jl), p.obs_lm, L
         )
         Hll = psum_lm(Hll_partial) + damping * jnp.eye(3, dtype=b_l.dtype)
-        sys = sys._replace(Hll_inv=jnp.linalg.inv(Hll))
+        sys = sys._replace(Hll_inv=_inv33(Hll))
 
     # reduced rhs: -(b_c - W Hll^-1 b_l)
     u = jnp.einsum("lij,lj->li", sys.Hll_inv, b_l)

@@ -264,7 +264,6 @@ def rotation_average(
     return Rw
 
 
-@matmul_highest
 def solve_scale_drift(
     n: int,
     con_i: jax.Array,
@@ -286,19 +285,29 @@ def solve_scale_drift(
         ``con_weight[m]`` (a loop pair's depth-ratio observation of the
         relative drift between two segments).
     Gauge x_0 = 0 via a strong prior row.  Returns x (n,), the log
-    correction to DIVIDE out of each segment's translation."""
-    con_i = jnp.asarray(con_i, jnp.int32)
-    con_j = jnp.asarray(con_j, jnp.int32)
+    correction to DIVIDE out of each segment's translation.
+
+    Solved on the HOST in float64: the system is a few hundred rows by
+    n ~ F columns — `jnp.linalg.lstsq` lowered it to a device SVD that
+    cost 0.18 s per call through the relay (round-5 back-end profile)
+    vs ~1 ms of numpy, and every caller consumes the result on the host
+    anyway."""
+    import numpy as np
+
+    con_i = np.asarray(con_i, np.int64)
+    con_j = np.asarray(con_j, np.int64)
     m = con_i.shape[0]
     rows = (n - 1) + m + 1
-    A = jnp.zeros((rows, n))
-    b = jnp.zeros((rows,))
-    k = jnp.arange(n - 1)
-    A = A.at[k, k + 1].set(smooth_weight).at[k, k].add(-smooth_weight)
-    r = n - 1 + jnp.arange(m)
-    w = jnp.asarray(con_weight)
-    A = A.at[r, con_i].add(w).at[r, con_j].add(-w)
-    b = b.at[r].set(jnp.asarray(con_log) * w)
-    A = A.at[rows - 1, 0].set(1e3)  # gauge: x_0 = 0
-    x, *_ = jnp.linalg.lstsq(A, b)
-    return x
+    A = np.zeros((rows, n))
+    b = np.zeros((rows,))
+    k = np.arange(n - 1)
+    A[k, k + 1] += smooth_weight
+    A[k, k] += -smooth_weight
+    r = n - 1 + np.arange(m)
+    w = np.asarray(con_weight, np.float64)
+    np.add.at(A, (r, con_i), w)
+    np.add.at(A, (r, con_j), -w)
+    b[r] = np.asarray(con_log, np.float64) * w
+    A[rows - 1, 0] = 1e3  # gauge: x_0 = 0
+    x, *_ = np.linalg.lstsq(A, b, rcond=None)
+    return x  # host array: every caller consumes it host-side

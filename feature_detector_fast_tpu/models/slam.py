@@ -82,6 +82,18 @@ class VOConfig:
     #: correction), while their depth-ratio drift observations stay
     #: valuable.
     loop_edge_min_gap: int = 0
+    #: Median rotation-compensated disparity (radians, ~normalized-coord
+    #: units) below which a loop pair is treated as a ZERO-PARALLAX
+    #: REVISIT: the cameras coincide to within measurement noise, so its
+    #: triangulated depths are legitimately meaningless (per-slot za/zb
+    #: RATIOS stay well-conditioned — the near-singular denominator
+    #: cancels) and the honest SE(3) measurement is [R | 0] — rotation
+    #: from the pair, translation pinned to zero.  Round-4 ran such
+    #: pairs through the depth-ratio MAD gates, where acceptance
+    #: teetered on f32 rounding of garbage depths (a batch-shape change
+    #: flipped it).  Default ~2 px at VGA focal lengths: real loop
+    #: baselines give disparities an order above this.
+    revisit_disparity_max: float = 4e-3
     #: Per-pair Gauss-Newton pose refinement: after essential RANSAC and
     #: cheirality pose recovery, each pair runs this many iterations of a
     #: tiny two-camera bundle adjustment (structure + second camera free,
@@ -448,6 +460,61 @@ def run_vo_matches(
             n_inl = int(lest.inl[li].sum())
             if n_inl < 16 or i >= p:
                 continue
+            # Zero-parallax revisit detection.  A coincident-camera pair
+            # breaks essential RANSAC STRUCTURALLY: E -> 0, and any skew
+            # E = [t]x scores every correspondence as an inlier
+            # (q^T [t]x q == 0 identically), so lest.R for such a pair
+            # is garbage (measured 90 deg off on a coincident revisit)
+            # and its depth gates were a coin flip on f32 rounding.  So
+            # the revisit test fits its OWN rotation: Kabsch on the
+            # matched unit rays (well-conditioned rotation-only
+            # Procrustes, one host-side 3x3 SVD), then gates on the
+            # median R-compensated angular disparity.  Below the gate
+            # the honest SE(3) measurement is [R_kabsch | 0], and the
+            # drift observation is the DIRECT chain-depth ratio
+            # (coincident cameras see each shared point at the same
+            # physical depth, so chain_i/chain_j is the segments'
+            # relative scale error — no loop triangulation involved).
+            minl = lest.inl[li] & lbatch.valid[li]
+            qa3 = np.concatenate(
+                [lbatch.pa[li], np.ones((k_cap, 1), lbatch.pa.dtype)], 1)
+            qb3 = np.concatenate(
+                [lbatch.pb[li], np.ones((k_cap, 1), lbatch.pb.dtype)], 1)
+            qa3 = qa3 / np.linalg.norm(qa3, axis=1, keepdims=True)
+            qb3 = qb3 / np.linalg.norm(qb3, axis=1, keepdims=True)
+            B = (qb3 * minl[:, None]).T @ qa3  # sum_i qb qa^T over inliers
+            U, _, Vt = np.linalg.svd(B)
+            R_rv = U @ np.diag([1.0, 1.0, np.linalg.det(U @ Vt)]) @ Vt
+            disp = np.linalg.norm(np.cross(qa3 @ R_rv.T, qb3), axis=1)
+            d_med = float(np.median(disp[minl])) if minl.any() else np.inf
+            if d_med < config.revisit_disparity_max:
+                seg_j = log_drift = None
+                lidx = lbatch.idx_b[li]
+                tbl_j, seg = chain_depth_table(j)
+                m3 = (
+                    est.inl[i] & lest.inl[li] & (lidx >= 0)
+                    & (lidx < k_cap) & (est.depths_a[i] > 1e-6)
+                )
+                if len(entry) <= 5:
+                    m3 = np.zeros_like(m3)
+                d_i = est.depths_a[i] * scales[i]
+                d_j = np.where(m3, tbl_j[np.clip(lidx, 0, k_cap - 1)],
+                               np.nan)
+                lrv = np.log(np.abs(d_i / d_j))
+                ok3 = m3 & np.isfinite(lrv) & (d_j > 1e-6)
+                if ok3.sum() >= 8:
+                    med = float(np.median(lrv[ok3]))
+                    if float(np.median(np.abs(lrv[ok3] - med))) \
+                            <= config.loop_ratio_mad_max:
+                        seg_j = seg
+                        log_drift = med
+                accepted.append((i, j, li, (0.0, R_rv), seg_j, log_drift))
+                if len(entry) > 5:
+                    ba_loop_links.append((
+                        i, j, lbatch.pa[li], lbatch.pb[li],
+                        lest.inl[li] & lbatch.valid[li], lbatch.idx_b[li],
+                    ))
+                continue
             # frame-i depths from the odometry chain, at chained scale
             m = (
                 est.inl[i]
@@ -549,9 +616,16 @@ def run_vo_matches(
                         "log_drift": log_drift,
                     })
                 continue
-            s_loop = r_i / c[i]
+            if isinstance(r_i, tuple):
+                # zero-parallax revisit: rotation from the Kabsch fit,
+                # translation pinned to zero (baseline unobservable)
+                s_loop = 0.0
+                R_edge = r_i[1]
+            else:
+                s_loop = r_i / c[i]
+                R_edge = lest.R[li]
             Tji = np.eye(4)
-            Tji[:3, :3] = lest.R[li]
+            Tji[:3, :3] = R_edge
             Tji[:3, 3] = lest.t_unit[li] * s_loop
             edge_i.append(i)
             edge_j.append(j)
@@ -704,7 +778,7 @@ def propose_loop_closures(
     config: VOConfig,
     gap: int = 5,
     min_matches: int = 60,
-    chunk: int = 64,
+    chunk: int = 128,
     top_k: Optional[int] = None,
     features: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,
 ) -> List[Tuple[int, int, np.ndarray, np.ndarray, np.ndarray]]:
@@ -713,7 +787,10 @@ def propose_loop_closures(
     match dispatches over the candidate pairs in fixed-size chunks of
     ``chunk`` (the (C, K, K) Hamming-distance intermediates grow
     quadratically in K — one flat dispatch over all O(F^2) candidates is
-    multi-GB at F=60, K=1024); pairs with enough mutual matches become
+    multi-GB at F=60, K=1024; 128-pair chunks keep that at ~134 MB of
+    HBM while halving the round-5 dispatch count per sequence vs 64 —
+    each dispatch pays ~25 ms of relay RTT); pairs with enough mutual
+    matches become
     (i, j, pa, pb, valid, idx_b) constraints for `run_vo_matches`.
     Returned slots are frame-i keypoint slots and idx_b the matched
     frame-j keypoint slot, as the loop scale-drift linkage requires.

@@ -42,6 +42,147 @@ def normalize_points(pts: jax.Array, cam: Camera) -> jax.Array:
     return jnp.stack([x, y], axis=-1)
 
 
+def _epipolar_rows(pa: jax.Array, pb: jax.Array) -> jax.Array:
+    """(N, 9) epipolar constraint rows: row_i . vec(E) = pb_i^T E pa_i."""
+    xa, ya = pa[..., 0], pa[..., 1]
+    xb, yb = pb[..., 0], pb[..., 1]
+    ones = jnp.ones_like(xa)
+    return jnp.stack(
+        [xb * xa, xb * ya, xb, yb * xa, yb * ya, yb, xa, ya, ones], axis=-1
+    )
+
+
+def _sym3_eigs_smallest(M: jax.Array):
+    """Closed-form eigensystem pieces of a symmetric PSD (3, 3) matrix:
+    (lam1, lam2, lam3, v3) with lam1 >= lam2 >= lam3 (Cardano's
+    trigonometric solution of the characteristic cubic) and v3 the unit
+    eigenvector of lam3 (best-conditioned cross product of two rows of
+    M - lam3 I).  Pure elementwise arithmetic — batches for free."""
+    q = jnp.trace(M) / 3.0
+    Mq = M - q * jnp.eye(3, dtype=M.dtype)
+    p2 = jnp.sum(Mq * Mq) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, 1e-30))
+    B = Mq / p
+    detB = (
+        B[0, 0] * (B[1, 1] * B[2, 2] - B[1, 2] * B[2, 1])
+        - B[0, 1] * (B[1, 0] * B[2, 2] - B[1, 2] * B[2, 0])
+        + B[0, 2] * (B[1, 0] * B[2, 1] - B[1, 1] * B[2, 0])
+    )
+    r = jnp.clip(detB / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    lam1 = q + 2.0 * p * jnp.cos(phi)
+    lam3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    lam2 = 3.0 * q - lam1 - lam3
+    S = M - lam3 * jnp.eye(3, dtype=M.dtype)
+    c01 = jnp.cross(S[0], S[1])
+    c02 = jnp.cross(S[0], S[2])
+    c12 = jnp.cross(S[1], S[2])
+    cands = jnp.stack([c01, c02, c12])
+    norms = jnp.linalg.norm(cands, axis=1)
+    v = cands[jnp.argmax(norms)]
+    return lam1, lam2, lam3, v / jnp.maximum(jnp.linalg.norm(v), 1e-30)
+
+
+def _sym3_smallest_eigvec(M: jax.Array) -> jax.Array:
+    """Unit eigenvector of the smallest eigenvalue (see
+    _sym3_eigs_smallest)."""
+    return _sym3_eigs_smallest(M)[3]
+
+
+def _essential_project(E: jax.Array) -> jax.Array:
+    """Closed-form projection of a 3x3 matrix onto the essential
+    manifold (singular values (s, s, 0)) — NO SVD.
+
+    With M = E^T E (eigenvalues lam1 >= lam2 >= lam3 = squared singular
+    values, all from Cardano), the projection is
+
+        E_ess = sbar * E (a M + b I)(I - v3 v3^T),
+
+    where (a, b) interpolate f(lam) = 1/sqrt(lam) through lam1, lam2 —
+    on the rank-2 span the operator aM + bI IS V diag(1/s1, 1/s2) V^T,
+    so E(aM+bI)P = u1 v1^T + u2 v2^T without ever forming the
+    eigenvectors v1, v2 (whose cross-product construction is singular
+    exactly in the common essential case lam1 ~= lam2; the interpolated
+    operator is basis-free and stable there, switching to the analytic
+    limit a = -1/(2 lbar^{3/2}) when lam1 - lam2 underflows).
+
+    Scoring UNPROJECTED hypotheses was a measured quality bug twice
+    over: full-rank E from degenerate samples wins bogus consensus
+    (odometry 3.3% -> 11% ATE), and rank-2-only enforcement still left
+    median pair rotation error at 0.36 deg vs 0.24 with the full
+    projection (round-5 probes) — the equal-singular-value constraint
+    is real information for ESSENTIAL matrices, unlike fundamental."""
+    M = E.T @ E
+    lam1, lam2, lam3, v3 = _sym3_eigs_smallest(M)
+    eps = 1e-30
+    lam1 = jnp.maximum(lam1, eps)
+    lam2 = jnp.maximum(lam2, eps)
+    s1 = jnp.sqrt(lam1)
+    s2 = jnp.sqrt(lam2)
+    sbar = 0.5 * (s1 + s2)
+    dl = lam1 - lam2
+    lbar = 0.5 * (lam1 + lam2)
+    a_nd = (1.0 / s1 - 1.0 / s2) / jnp.where(jnp.abs(dl) < eps, 1.0, dl)
+    a_deg = -0.5 / (lbar * jnp.sqrt(lbar))
+    deg = jnp.abs(dl) < 1e-6 * lam1
+    a = jnp.where(deg, a_deg, a_nd)
+    b = jnp.where(deg, 1.5 / jnp.sqrt(lbar), 1.0 / s1 - a_nd * lam1)
+    W = a * M + b * jnp.eye(3, dtype=E.dtype)
+    P = jnp.eye(3, dtype=E.dtype) - jnp.outer(v3, v3)
+    return sbar * (E @ (W @ P))
+
+
+def _nullvec_rows8(A: jax.Array) -> jax.Array:
+    """Unit vector orthogonal to the 8 rows of A (8, 9) — the 8-point
+    null vector — by UNROLLED modified Gram-Schmidt with one
+    re-orthogonalization pass: ~1k scalar multiply-adds that vmap into
+    batched elementwise XLA ops.
+
+    Crucially this works on the ROWS, not the normal matrix: forming
+    A^T A squares the conditioning, and the f32 noise of a normal-
+    equation null vector (inverse iteration, exact Cholesky inner
+    solves) measurably degraded RANSAC — staged-circuit loop-stage ATE
+    1.44 -> 2.3 — while MGS at cond(A) keeps f32 accuracy.  Two fixed
+    deflation seeds guard against a seed lying in the row space; the
+    larger deflated residual wins."""
+    eps = 1e-30
+    q = []
+    for i in range(8):
+        v = A[i]
+        for _ in range(2):  # MGS + re-orthogonalization
+            for qj in q:
+                v = v - jnp.dot(qj, v) * qj
+        q.append(v / jnp.sqrt(jnp.maximum(jnp.dot(v, v), eps)))
+
+    def deflate(seed):
+        v = seed
+        for _ in range(2):
+            for qj in q:
+                v = v - jnp.dot(qj, v) * qj
+        return v
+
+    s1 = deflate(jnp.full((9,), 1.0 / 3.0, A.dtype))
+    alt = jnp.zeros((9,), A.dtype).at[4].set(1.0).at[2].set(-0.5)
+    s2 = deflate(alt)
+    n1 = jnp.dot(s1, s1)
+    n2 = jnp.dot(s2, s2)
+    v = jnp.where(n1 >= n2, s1, s2)
+    return v / jnp.sqrt(jnp.maximum(jnp.maximum(n1, n2), eps))
+
+
+def _eight_point_hyp(pa: jax.Array, pb: jax.Array) -> jax.Array:
+    """RANSAC hypothesis 8-point solve, SVD-free: row-space null vector
+    by unrolled Gram-Schmidt (`_nullvec_rows8`), then the closed-form
+    FULL essential projection (`_essential_project`).  Matches the
+    SVD-based `_eight_point` to f32 working accuracy (median pair
+    rotation error 0.238 vs 0.239 deg on the rendered staged circuit)
+    at ~6x its speed in the batched RANSAC dispatch
+    (tools/exp_r5_ransac_speed.py)."""
+    A = _epipolar_rows(pa, pb)
+    E = _nullvec_rows8(A).reshape(3, 3)
+    return _essential_project(E)
+
+
 def _eight_point(pa: jax.Array, pb: jax.Array) -> jax.Array:
     """Essential matrix from >= 8 normalized correspondences (N, 2) each.
 
@@ -104,7 +245,7 @@ def ransac_essential(
     r = jnp.where(valid[None, :], r, 2.0)  # invalid slots rank last
     _, sample_idx = jax.lax.top_k(-r, 8)  # (H, 8) distinct slot indices
 
-    Es = jax.vmap(lambda si: _eight_point(pa[si], pb[si]))(sample_idx)  # (H,3,3)
+    Es = jax.vmap(lambda si: _eight_point_hyp(pa[si], pb[si]))(sample_idx)  # (H,3,3)
     errs = jax.vmap(lambda E: sampson_error(E, pa, pb))(Es)  # (H, K)
     inl = (errs < threshold) & valid[None, :]
     scores = inl.sum(axis=-1)
@@ -128,16 +269,20 @@ def ransac_essential(
 
 
 def _eight_point_weighted(pa, pb, w):
-    xa, ya = pa[..., 0], pa[..., 1]
-    xb, yb = pb[..., 0], pb[..., 1]
-    ones = jnp.ones_like(xa)
-    A = jnp.stack(
-        [xb * xa, xb * ya, xb, yb * xa, yb * ya, yb, xa, ya, ones], axis=-1
-    )
-    A = A * w
-    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
-    e = vt[-1]
-    E = e.reshape(3, 3)
+    """Inlier-weighted refit: smallest eigenvector of the (9, 9) normal
+    matrix (the (K, 9)^T (K, 9) product rides the MXU; the round-4 code
+    ran a FULL-matrices SVD of the (K, 9) row matrix — a (K, K) U factor
+    for K = 512 slots — per refit).  eigh on a 9x9 runs per PAIR, not
+    per hypothesis, so its cost is negligible, and it keeps full f32
+    eigenvector accuracy, which
+    the refit needs (it feeds recover_pose and the final inlier set —
+    an approximate refit null vector measurably cost BA accuracy on the
+    staged circuit).  One 3x3 SVD then projects onto the essential
+    manifold."""
+    A = _epipolar_rows(pa, pb) * w
+    N = A.T @ A
+    _, V = jnp.linalg.eigh(N)
+    E = V[:, 0].reshape(3, 3)  # eigh sorts ascending
     u, s, vt2 = jnp.linalg.svd(E)
     sbar = (s[0] + s[1]) / 2.0
     return u @ jnp.diag(jnp.asarray([sbar, sbar, 0.0], E.dtype)) @ vt2

@@ -63,28 +63,48 @@ TILE_H = 128
 #:   OFF: the kernel only COMPILES at 32-row multiples (other sizes
 #:        consistently fail remote Mosaic compile), and 256+ lost to
 #:        224 at 1080p.
-#:   MT:  any sublane multiple compiles, but >= ~180 rows is
-#:        VMEM-UNSAFE (the dense kernel's score pyramids hit the
-#:        ~100 MB scoped cap at 216: odd counts hard-OOM, others
-#:        compile flakily); 120 beat 72/136/160 below that.
+#:   MT:  any sublane multiple compiles for EVEN counts.  >= ~180 rows
+#:        was wholly VMEM-unsafe until round 5's row-chunked pyramid
+#:        evaluation (MT_PYRAMID_CHUNK) bounded liveness by the chunk:
+#:        216 then measured 0.1683-0.1705 vs 0.1750 ms at 120 in one
+#:        process (tools/exp_r5_mt_chunk.py; 360 worse at 0.189,
+#:        single-tile 1080 worse still).  ODD counts stay capped at 160
+#:        (_TILE_H_MT_ODD below).
 #:   SA:  no MT pyramids — 216 fits comfortably and beat every smaller
 #:        size; 360 was slightly worse.
 TILE_H_CANDIDATES: dict = {
     NonmaxMode.OFF: (96, 128, 160, 192, 224),
-    NonmaxMode.MAX_THRESHOLD: (72, 96, 120, 160),
+    NonmaxMode.MAX_THRESHOLD: (72, 96, 120, 160, 216),
     NonmaxMode.SUM_ABSOLUTE: (72, 96, 120, 128, 160, 216),
 }
+#: MaxThreshold with an ODD count cannot use the 216-row tile: odd
+#: window lengths fold the level-1 diff planes, whose extended liveness
+#: (on top of the interleaved eh/el chains Mosaic schedules together)
+#: hard-OOMs the ~100 MB scoped-VMEM cap at 216 rows for EVERY chunk
+#: size tried (128/80), while even counts compile and run bit-exact.
+#: Forcing chain sequencing via a value-level dependency made every
+#: config compile but cost ~33% (0.175 -> 0.234 ms at 120/none — the
+#: chains' instruction-level parallelism is real), so odd counts keep
+#: the 120-row zero-padding tile instead (round-5 ledger,
+#: docs/PERFORMANCE.md).
+_TILE_H_MT_ODD = (72, 96, 120, 160)
 #: Experiments (tools/exp_r4_tiles.py) force one size for every mode.
 TILE_H_OVERRIDE = None
 
 
-def tile_h_for(mode, h: int) -> int:
-    """Whole-image row-tile height for (nonmax mode, image height) —
-    trace-time.  Minimum padded height wins; ties go to the larger tile
-    (fewer per-tile boundaries)."""
+def tile_h_for(mode, h: int, count: int = 10) -> int:
+    """Whole-image row-tile height for (nonmax mode, image height,
+    arc count) — trace-time.  Minimum padded height wins; ties go to the
+    larger tile (fewer per-tile boundaries).  ``count`` matters only for
+    MaxThreshold: odd counts are VMEM-capped at 160 rows (see
+    _TILE_H_MT_ODD)."""
     if TILE_H_OVERRIDE is not None:
         return int(TILE_H_OVERRIDE)
-    cands = TILE_H_CANDIDATES.get(NonmaxMode(mode))
+    mode = NonmaxMode(mode)
+    if mode is NonmaxMode.MAX_THRESHOLD and int(count) % 2 == 1:
+        cands = _TILE_H_MT_ODD
+    else:
+        cands = TILE_H_CANDIDATES.get(mode)
     if not cands:
         return TILE_H
     return min(cands, key=lambda t: (_pad_to(int(h), t), -t))
@@ -191,9 +211,15 @@ _MT_WINDOW_DTYPE = jnp.float32
 #: what unlocks the >=180-row MT tiles that hard-OOMed in round 4 (the
 #: ring reductions are per-pixel; chunking is exact with zero
 #: recomputation — see _tile_keypoints).  Chunks are balanced and
-#: rounded to the 8-row sublane.  128 keeps sub-180-row tiles in one
-#: block (no change to the measured 120-row configs).
-MT_PYRAMID_CHUNK = 128
+#: rounded to the 8-row sublane.  80 keeps 216-row tiles compiling for
+#: ODD counts too: odd window lengths fold the level-1 planes (the 16
+#: diffs stay live through both chains), and chunk 128 at 216 rows
+#: still hard-OOMed counts 9/11/13/15 on hardware while even counts
+#: passed (round-5 acceptance run); 80 costs ~1% vs 128 on the c=9
+#: sweep (0.1705 vs 0.1683 ms) and keeps >= 30 MB of headroom for the
+#: worst-case odd-count liveness.  Sub-chunk-size tiles (<= 80 rows)
+#: run in one block, unchanged.
+MT_PYRAMID_CHUNK = 80
 
 
 def _mt_chunks(rows: int, limit) -> list:
@@ -747,7 +773,7 @@ def detect_dense_padded(
     nonmax = NonmaxMode(nonmax)
     threshold = _check_threshold(threshold)
     h, w = image.shape
-    tile_h = tile_h_for(nonmax, h)
+    tile_h = tile_h_for(nonmax, h, count)
     hp, wp = _pad_to(h, tile_h), _pad_to(w, LANES)
     img = jnp.pad(image, ((0, hp - h), (0, wp - w)))
     n_tiles = hp // tile_h
@@ -964,7 +990,7 @@ def detect_words_padded(
     nonmax = NonmaxMode(nonmax)
     threshold = _check_threshold(threshold)
     h, w = image.shape
-    tile_h = tile_h_for(nonmax, h)
+    tile_h = tile_h_for(nonmax, h, count)
     hp, wp = _pad_to(h, tile_h), _pad_to(w, LANES)
     n_lanes = _word_lanes_for(wp)
     assert wp // 32 <= _WORD_LANES_MAX, \

@@ -195,9 +195,13 @@ def test_tile_h_selection_and_override(rng):
     scheduling knob)."""
     import jax.numpy as jnp
 
-    # 1080p winners reproduced by the rule (the sweep's measured bests)
+    # 1080p winners reproduced by the rule (the sweep's measured bests).
+    # MT is COUNT-aware (round 5): even counts take the 216-row chunked-
+    # pyramid tile; odd counts' extra level-1 liveness OOMs 216 on
+    # hardware, so they keep 120 (the zero-padding round-4 winner).
     assert fast_pallas.tile_h_for(NonmaxMode.OFF, 1080) == 224
-    assert fast_pallas.tile_h_for(NonmaxMode.MAX_THRESHOLD, 1080) == 120
+    assert fast_pallas.tile_h_for(NonmaxMode.MAX_THRESHOLD, 1080, 9) == 120
+    assert fast_pallas.tile_h_for(NonmaxMode.MAX_THRESHOLD, 1080, 12) == 216
     assert fast_pallas.tile_h_for(NonmaxMode.SUM_ABSOLUTE, 1080) == 216
     # small frames must not over-pad (VGA: 480 rows)
     for mode in NonmaxMode:

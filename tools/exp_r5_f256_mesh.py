@@ -1,0 +1,132 @@
+"""Round-5 scale eval: F=256 double-lap VGA circuit under the 8-device
+CPU mesh (VERDICT r4 #7).
+
+Extends the F=128 staged eval (tests/test_render_vo.py) 2x in sequence
+length and runs the loop-closing back-end DISTRIBUTED
+(run_vo_matches(mesh=...), refine_with_ba -> parallel.ba_sharded):
+
+  * signature pre-gate recall: the top_k=8 frame-signature ranking must
+    still discover the geometric revisits (known exactly from the
+    rendered trajectory: laps=2 at F=256 puts frame i's revisit at
+    i +- 128) — measured as the fraction of subsampled frames whose
+    true revisit partner appears among their proposed pairs,
+  * staged improvement: odometry -> +loops -> +BA, each better,
+  * distributed == single-device: the mesh-refined ATE must match the
+    single-device refinement to tolerance.
+
+Run: XLA_FLAGS=--xla_force_host_platform_device_count=8 FDF_CPU=1 \
+         python tools/exp_r5_f256_mesh.py [n_frames]
+Output: one JSON object per line; summary on stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir))
+
+
+def main() -> int:
+    os.environ.setdefault("FDF_CPU", "1")
+    from feature_detector_fast_tpu.utils import cache as _cache
+
+    _cache.enable()
+
+    import jax
+
+    from feature_detector_fast_tpu.io import render
+    from feature_detector_fast_tpu.models import slam
+    from feature_detector_fast_tpu.parallel import mesh as meshlib
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    laps = 2
+    print(f"devices: {len(jax.devices())} x {jax.devices()[0].platform}",
+          file=sys.stderr)
+    mesh = meshlib.make_mesh()
+
+    cfg = render.RenderConfig(width=640, height=480, fx=520.0, fy=520.0,
+                              z_back=12.0, cell=0.3, n_boxes=10,
+                              noise_sigma=4.0, blur=True, vignette=0.25,
+                              seed=3)
+    gt = render.loop_trajectory(n, radius=2.0, laps=laps)
+    t0 = time.perf_counter()
+    frames = render.render_sequence(gt, cfg)
+    print(f"render {n} frames: {time.perf_counter()-t0:.0f}s",
+          file=sys.stderr)
+    traj = np.linalg.norm(np.diff(gt[:, :3, 3], axis=0), axis=1).sum()
+    vocfg = slam.VOConfig(max_keypoints=512, camera=cfg.camera(),
+                          loop_ratio_mad_max=0.15, loop_edge_weight=0.3,
+                          loop_edge_min_gap=(3 * n) // 4)
+
+    t0 = time.perf_counter()
+    feats = slam.frontend_features(frames, vocfg)
+    pd = slam.frontend_matches(frames, vocfg, features=feats)
+    # min_matches=120: the measured dense-revisit gate (round-4
+    # loop-count sensitivity study) — F=256 laps=2 is exactly that regime
+    loops = slam.propose_loop_closures(frames, vocfg, gap=10, top_k=8,
+                                       min_matches=120, features=feats)
+    t_front = time.perf_counter() - t0
+
+    # signature pre-gate recall vs the GEOMETRIC revisits: frame i's
+    # true revisit partner is i + n/laps (same circuit position)
+    period = n // laps
+    hits = total = 0
+    by_i = {}
+    for (i, j, *_rest) in loops:
+        by_i.setdefault(i, []).append(j)
+    for i in range(0, n - period, 4):
+        total += 1
+        if any(abs(j - i - period) <= 4 for j in by_i.get(i, ())):
+            hits += 1
+    recall = hits / max(total, 1)
+    print(json.dumps({"stage": "loops", "n_loops": len(loops),
+                      "revisit_recall": round(recall, 3),
+                      "frontend_s": round(t_front, 1)}), flush=True)
+
+    t0 = time.perf_counter()
+    est0 = slam.run_vo_matches(list(pd), vocfg)
+    t_odo = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    est1 = slam.run_vo_matches(list(pd), vocfg, loop_pairs=loops, mesh=mesh)
+    t_loop = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    est2m = slam.run_vo_matches(list(pd), vocfg, loop_pairs=loops,
+                                ba_refine=True, mesh=mesh)
+    t_ba_mesh = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    est2s = slam.run_vo_matches(list(pd), vocfg, loop_pairs=loops,
+                                ba_refine=True)
+    t_ba_single = time.perf_counter() - t0
+
+    a0 = 100 * slam.evaluate_ate(est0, gt) / traj
+    a1 = 100 * slam.evaluate_ate(est1, gt) / traj
+    a2m = 100 * slam.evaluate_ate(est2m, gt) / traj
+    a2s = 100 * slam.evaluate_ate(est2s, gt) / traj
+    rec = {"stage": "staged_f256_mesh", "frames": n, "laps": laps,
+           "ate_odometry_pct": round(a0, 3),
+           "ate_loops_pct": round(a1, 3),
+           "ate_ba_mesh_pct": round(a2m, 3),
+           "ate_ba_single_pct": round(a2s, 3),
+           "odometry_s": round(t_odo, 1), "loops_s": round(t_loop, 1),
+           "ba_mesh_s": round(t_ba_mesh, 1),
+           "ba_single_s": round(t_ba_single, 1)}
+    print(json.dumps(rec), flush=True)
+    print(rec, file=sys.stderr)
+
+    assert recall >= 0.8, ("signature pre-gate missed revisits", recall)
+    assert a1 < 0.7 * a0, ("loops must cut drift materially", a0, a1)
+    assert a2m <= a1 * 1.05, ("BA must not degrade the loop graph", a1, a2m)
+    assert abs(a2m - a2s) < 0.3 * max(a2m, a2s) + 1e-9, (
+        "mesh refinement must match single-device", a2m, a2s)
+    assert a2m < 1.5, ("final ATE bound (pct of trajectory)", a2m)
+    print("OK", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

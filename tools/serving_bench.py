@@ -80,26 +80,57 @@ def grown_cap(batch_np, config, cap: int) -> int:
         cap = _grow_cap(cap, n_supers, max_cap)
 
 
-def run_stream(batch_np, config, cap: int, depth: int, n_batches: int):
+def run_stream(batch_np, config, cap: int, depth: int, n_batches: int,
+               expect_xy=None):
     """Stream n_batches through a DetectorPipeline; returns (sec/frame,
-    keypoints/frame)."""
+    keypoints/frame, submit seconds, ready/drain seconds).
+
+    The submit/ready wall-time split diagnoses pipeline-depth behavior:
+    submit pays the h2d copy + dispatch, ready/drain pays the (async-
+    overlapped) d2h readback + decode — on a shared relay link, deeper
+    pipelines queue h2d copies BEHIND the in-flight d2h copies, which
+    shows up as growing submit time (VERDICT r4 #6).
+
+    ``expect_xy`` (the single-device api.detect_arrays result on this
+    frame) turns on the HARDWARE correctness cross-check: every frame's
+    decoded keypoints must be bit-identical, at every depth."""
     from feature_detector_fast_tpu.serving import DetectorPipeline
 
     pipe = DetectorPipeline(config, depth=depth, max_supers=cap)
     n_frames = 0
     n_kp = 0
+    got = []  # one decoded batch kept per drain for the post-timing check
+    t_submit = 0.0
+    t_ready = 0.0
     t0 = time.perf_counter()
     for _ in range(n_batches):
+        t = time.perf_counter()
         pipe.submit(batch_np)
+        t_submit += time.perf_counter() - t
+        t = time.perf_counter()
         for kps in pipe.ready():
             n_frames += len(kps)
             n_kp = len(kps[0])
+            got.append(kps)
+        t_ready += time.perf_counter() - t
+    t = time.perf_counter()
     for kps in pipe.drain():
         n_frames += len(kps)
         n_kp = len(kps[0])
+        got.append(kps)
+    t_ready += time.perf_counter() - t
     dt = time.perf_counter() - t0
     assert n_frames == n_batches * batch_np.shape[0]
-    return dt / n_frames, n_kp
+    if expect_xy is not None:
+        # bit-exactness of the PIPELINED path vs the single-device API,
+        # on hardware, for every streamed frame (VERDICT r4 #6)
+        for kps in got:
+            for xy in kps:
+                if not np.array_equal(xy, expect_xy):
+                    raise AssertionError(
+                        f"pipelined keypoints diverge at depth {depth}: "
+                        f"{len(xy)} vs {len(expect_xy)} expected")
+    return dt / n_frames, n_kp, t_submit, t_ready
 
 
 def main() -> int:
@@ -123,22 +154,33 @@ def main() -> int:
     img = build_1080p_frame()
     batch_np = np.broadcast_to(img, (BATCH,) + img.shape).copy()
 
+    from feature_detector_fast_tpu import api
+
     for name, config in (
         ("off", Config(16, 9, NonmaxMode.OFF)),
         ("max_threshold", Config(16, 9, NonmaxMode.MAX_THRESHOLD)),
         ("sum_absolute", Config(16, 9, NonmaxMode.SUM_ABSOLUTE)),
     ):
         cap = grown_cap(batch_np, config, CAPS[name])
+        # single-device API reference for the hardware bit-exactness
+        # cross-check (VERDICT r4 #6): every pipelined frame, every depth
+        expect = api.detect_arrays(img, config)
         # single-shot reference: depth 0 == drain after every submit
-        sec0, n_kp = run_stream(batch_np, config, cap, 0, 4)
+        sec0, n_kp, sub0, rdy0 = run_stream(batch_np, config, cap, 0, 4,
+                                            expect_xy=expect)
         rec = {"stage": "serving", "config": name, "keypoints": n_kp,
-               "cap": cap,
+               "cap": cap, "bit_exact": True,
                "single_shot_ms_per_frame": round(sec0 * 1e3, 3),
-               "single_shot_fps": round(1.0 / sec0, 1)}
+               "single_shot_fps": round(1.0 / sec0, 1),
+               "single_shot_submit_s": round(sub0, 2),
+               "single_shot_ready_s": round(rdy0, 2)}
         for depth in (1, 2, 4):
-            sec, _ = run_stream(batch_np, config, cap, depth, N_BATCHES)
+            sec, _, sub, rdy = run_stream(batch_np, config, cap, depth,
+                                          N_BATCHES, expect_xy=expect)
             rec[f"depth{depth}_ms_per_frame"] = round(sec * 1e3, 3)
             rec[f"depth{depth}_fps"] = round(1.0 / sec, 1)
+            rec[f"depth{depth}_submit_s"] = round(sub, 2)
+            rec[f"depth{depth}_ready_s"] = round(rdy, 2)
         rec["pipeline_speedup"] = round(
             rec["single_shot_ms_per_frame"] / rec["depth2_ms_per_frame"], 2)
         print(json.dumps(rec), flush=True)
