@@ -15,6 +15,26 @@ _DEFAULT_DIR = os.path.join(
 )
 
 
+def _machine_tag() -> str:
+    """Short fingerprint of the host CPU's ISA feature set.  XLA:CPU
+    persists AOT-compiled executables that embed the compile machine's
+    vector ISA; this sandbox migrates between VM flavors, and loading an
+    entry compiled on an avx512/amx host on a narrower one SEGFAULTS
+    mid-test ("Machine type used for XLA:CPU compilation doesn't match
+    ... could lead to SIGILL", then a real one — round 5).  Keying the
+    CPU cache by the feature flags isolates each machine's entries."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.md5(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    return "unknown"
+
+
 def enable(cache_dir: str | None = None) -> None:
     import jax
 
@@ -27,6 +47,15 @@ def enable(cache_dir: str | None = None) -> None:
         # crawl (CLAUDE.md).
         jax.config.update("jax_platforms", "cpu")
     path = cache_dir or os.environ.get("FDF_XLA_CACHE", _DEFAULT_DIR)
+    try:
+        # CPU-backend entries are machine-ISA-specific (see _machine_tag);
+        # TPU entries are compiled remotely and host-independent, so they
+        # keep the shared top-level directory (first compiles through the
+        # relay cost 20-120 s — that cache is the expensive one).
+        if jax.default_backend() == "cpu":
+            path = os.path.join(path, f"cpu-{_machine_tag()}")
+    except Exception:
+        pass
     os.makedirs(path, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", path)

@@ -28,6 +28,19 @@ else:
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# XLA:CPU's multi-threaded LLVM codegen segfaults FLAKILY deep into long
+# test sessions on this sandbox (round 5: three full-suite runs died
+# with "Fatal Python error: Segmentation fault" inside
+# backend_compile_and_load around the ~260th test, at a different test
+# each time, while every module passes in isolation and the round-4
+# suite passes on the same VM — classic compile-parallelism race, odds
+# accumulating with per-session compile count).  Serializing the
+# per-module codegen split removes the race; compile wall time on the
+# CPU suite is dominated by tracing/optimization, not codegen, so the
+# cost is small.
+if "xla_cpu_parallel_codegen_split_count" not in os.environ["XLA_FLAGS"]:
+    os.environ["XLA_FLAGS"] += " --xla_cpu_parallel_codegen_split_count=1"
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
