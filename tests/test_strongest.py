@@ -3,12 +3,26 @@
 Cross-checked against a numpy full sort of the dense score plane — the
 thing the device path deliberately avoids computing."""
 
+import jax
 import numpy as np
 import pytest
 
 from feature_detector_fast_tpu import Config, NonmaxMode
 from feature_detector_fast_tpu.api import detect_arrays, detect_strongest_arrays
 from feature_detector_fast_tpu.ops import fast
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _fresh_compile_arena():
+    """Release the session's accumulated compiled executables before this
+    module compiles the strongest-K bisection programs.  Full-suite runs
+    segfaulted FLAKILY inside XLA:CPU's backend_compile_and_load right
+    around these tests (~260 programs into the session; every module
+    green in isolation, and serializing LLVM codegen did not help) — the
+    signature of JIT code-memory pressure, which clearing the jit caches
+    resets.  Costs a few re-compiles in later modules."""
+    jax.clear_caches()
+    yield
 
 
 def _dense(img, cfg):
